@@ -1,0 +1,181 @@
+"""Frozen configuration for every pipeline.
+
+The reference hard-codes every parameter either as per-class `static const`
+(e.g. JointBilateralFilter.cpp:3-6) or inline at the pipeline call sites
+(RegionGrowingBilateralFilter.cpp:28-29, KinectDepthEnhancement.cpp:67,
+SPDepthSuperResolution.cpp:59-60).  Here they are named, frozen dataclasses;
+the defaults reproduce the reference's values exactly.
+
+All dataclasses are hashable/frozen so they can be static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class JBFParams:
+    """Joint bilateral filter constants (JointBilateralFilter.cpp:3-6)."""
+
+    window: int = 5
+    spatial_sigma: float = 70.0
+    color_sigma: float = 50.0
+    depth_sigma: float = 20.0
+    # cv::gpu::bilateralFilter(color, d=5, sigmaColor=30, sigmaSpace=30)
+    # pre-smoothing of the guide image (JointBilateralFilter.cu:285).
+    guide_diameter: int = 5
+    guide_color_sigma: float = 30.0
+    guide_spatial_sigma: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MRFParams:
+    """Markov-random-field smoother constants (MarkovRandomField.cpp:3-6)."""
+
+    window: int = 5
+    color_sigma: float = 50.0    # NOTE: multiplies the squared colour diff
+    smooth_sigma: float = 150.0  # exp(-sigma_c * dc^2), MarkovRandomField.cu:27-31
+
+
+@dataclasses.dataclass(frozen=True)
+class SLICParams:
+    """One SLIC segmentation call (sigma set + iterations).
+
+    The color/spatial/depth/normal sigmas weight the distance terms; see
+    DepthAdaptiveSuperpixel.cu:206-219 and NormalAdaptiveSuperpixel.cu:223-258.
+    """
+
+    color_sigma: float
+    spatial_sigma: float
+    depth_sigma: float = 0.0
+    normal_sigma: float = 0.0
+    iterations: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ERSParams:
+    """Edge-refined superpixel constants (EdgeRefinedSuperpixel.cpp:4-7)."""
+
+    window: int = 7
+    spatial_sigma: float = 30.0
+    color_sigma: float = 50.0
+    depth_sigma: float = 70.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionParams:
+    """Plane projection / optimisation constants (Projection_GPU.cpp:3-5)."""
+
+    window: int = 7
+    spatial_sigma: float = 20.0
+    depth_sigma: float = 100.0
+    # mrf_optimization constants (Projection_GPU.cu:300-303 call site)
+    mrf_window: int = 5
+    mrf_k: float = 0.5
+    mrf_smooth_sigma: float = 1.0
+    mrf_iterations: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class CCLParams:
+    """Superpixel-merging predicate (LabelEquivalenceSeg.cu:37-43)."""
+
+    normal_angle_max: float = 3.141592653 / 8.0
+    plane_offset_max: float = 150.0
+    iterations: int = 10  # reference runs a fixed 10 scan/analysis rounds
+
+
+@dataclasses.dataclass(frozen=True)
+class CCLPCAParams:
+    """PCA variant of the merge predicate (LabelEquivalenceSegPCA.cu:28-35)."""
+
+    normal_angle_max: float = 3.141592653 / 8.0
+    plane_offset_max: float = 700.0
+    iterations: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class NormalParams:
+    """Normal-map generation (NormalEstimation/*).
+
+    method: "sdc" | "cm" | "bilateral" (NormalMapGenerator.h:28).  KDE uses
+    "cm" (KinectDepthEnhancement.cpp:53); the class default is "bilateral"
+    (NormalMapGenerator.cpp:15).
+    SAMG constants from SmoothingAreaMapGenerator.cpp:15-16.
+    """
+
+    method: str = "cm"
+    max_depth_change_factor: float = 0.05  # metres
+    normal_smoothing_size: float = 20.0    # pixels
+    # Reference's chamfer DT is exact two-pass host code; we run a bounded
+    # device-side min-plus relaxation instead.  The smoothing map is clamped to
+    # <= normal_smoothing_size + z/10, so distances beyond ~24 px never matter;
+    # dt_iterations sweeps of 1-step relaxation cover a radius of dt_iterations.
+    dt_iterations: int = 26
+
+
+@dataclasses.dataclass(frozen=True)
+class GridParams:
+    """Superpixel grid: 15 rows x 20 cols = 300 clusters (main.cpp:30-31)."""
+
+    rows: int = 15
+    cols: int = 20
+
+    @property
+    def num_clusters(self) -> int:
+        return self.rows * self.cols
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Shared base: grid + component constants."""
+
+    grid: GridParams = GridParams()
+    jbf: JBFParams = JBFParams()
+    mrf: MRFParams = MRFParams()
+    ers: ERSParams = ERSParams()
+    projection: ProjectionParams = ProjectionParams()
+    normals: NormalParams = NormalParams()
+    ccl: CCLParams = CCLParams()
+    ccl_pca: CCLPCAParams = CCLPCAParams()
+
+
+@dataclasses.dataclass(frozen=True)
+class RGBFConfig(PipelineConfig):
+    """RegionGrowingBilateralFilter preset (RegionGrowingBilateralFilter.cpp:28-29)."""
+
+    color_slic: SLICParams = SLICParams(200.0, 40.0, 0.0, 0.0, 1)
+    depth_slic: SLICParams = SLICParams(100.0, 20.0, 200.0, 0.0, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class KDEConfig(PipelineConfig):
+    """KinectDepthEnhancement ("PROPOSED") preset (KinectDepthEnhancement.cpp:67).
+
+    NASP sigma order at the call site is (color, spatial, depth, normal) =
+    (10, 50, 50, 150) with 1 iteration.
+    """
+
+    nasp: SLICParams = SLICParams(10.0, 50.0, 50.0, 150.0, 1)
+    # variance_optimization gates (Projection_GPU.cu:203-208)
+    min_cluster_size: int = 1300
+    agree_tight: float = 0.01
+    agree_loose: float = 0.03
+
+
+@dataclasses.dataclass(frozen=True)
+class SPDSPConfig(PipelineConfig):
+    """SPDepthSuperResolution preset (SPDepthSuperResolution.cpp:59-60)."""
+
+    color_slic: SLICParams = SLICParams(200.0, 10.0, 0.0, 0.0, 5)
+    depth_slic: SLICParams = SLICParams(0.0, 10.0, 200.0, 0.0, 5)
+
+
+@dataclasses.dataclass(frozen=True)
+class TOFConfig(SPDSPConfig):
+    """TOFDepthInterpolation preset (TOFDepthInterpolation.cpp:62-63).
+
+    Same segmentation sigmas as SPDSP; merges with the PCA predicate and
+    projects without iterative optimisation (Projection_PCA.cu:109-131).
+    """

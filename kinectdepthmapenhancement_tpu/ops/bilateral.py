@@ -1,0 +1,174 @@
+"""Bilateral-family depth filters: guide smoothing, JBF, MRF.
+
+TPU-native reimplementation of:
+  * cv::gpu::bilateralFilter on the colour guide (JointBilateralFilter.cu:285)
+  * joint_bilateral_filtering (JointBilateralFilter.cu:4-83)
+  * markov_random_field (MarkovRandomField.cu:4-40)
+
+All three are statically unrolled window stencils (see ops/stencil.py); the
+whole JBF (two passes over a 5x5 window) fuses into a single XLA kernel.
+
+Numerical contracts kept from the reference:
+  * invalid depth: z <= 50 mm neighbours are excluded everywhere
+  * JBF pass 1: spatial x colour weighted mean of valid depth; if no valid
+    support (weight == 0) the output is 0
+  * JBF pass 2: spatial x colour x depth-Gaussian, depth term measured
+    against the pass-1 mean; 0 where the denominator vanishes
+  * the `if (filter_term != 0) filter *= term` guards in the CUDA code mean a
+    fully-underflowed colour/depth Gaussian contributes factor 1, not 0 —
+    replicated with jnp.where
+  * MRF: single Jacobi sweep, numerator seeded with the centre depth and
+    denominator with 1 regardless of centre validity; colour weight is
+    exp(-sigma_c * dc^2) (sigma multiplies — reference quirk, kept)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from kinectdepthmapenhancement_tpu.core.buffer2d import VALID_DEPTH_MM
+from kinectdepthmapenhancement_tpu.core.config import JBFParams, MRFParams
+from kinectdepthmapenhancement_tpu.ops import stencil
+
+
+def _color_dist2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distance over the channel axis, in float32."""
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    return jnp.sum(d * d, axis=-1)
+
+
+def guide_bilateral(color: jnp.ndarray, p: JBFParams) -> jnp.ndarray:
+    """Colour-guide pre-smoothing, modelled on cv::gpu::bilateralFilter
+    (square window of kernel_size, Gaussian space and squared-Euclidean
+    colour terms, reflect-101 border, saturate-cast to u8).
+
+    color: u8 [H, W, 3] -> u8 [H, W, 3].
+    """
+    h, w, _ = color.shape
+    window = p.guide_diameter
+    r = window // 2
+    cf = color.astype(jnp.float32)
+    padded = jnp.pad(cf, [(r, r), (r, r), (0, 0)], mode="reflect")
+    space_coeff = -0.5 / (p.guide_spatial_sigma**2)
+    color_coeff = -0.5 / (p.guide_color_sigma**2)
+
+    num = jnp.zeros_like(cf)
+    den = jnp.zeros((h, w), jnp.float32)
+    for dy, dx in stencil.offsets(window):
+        nb = stencil.shift(padded, dy, dx, r, (h, w))
+        wgt = jnp.exp(
+            (dy * dy + dx * dx) * space_coeff + _color_dist2(cf, nb) * color_coeff
+        )
+        num = num + nb * wgt[..., None]
+        den = den + wgt
+    out = num / den[..., None]
+    return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+
+
+def joint_bilateral_filter(
+    depth: jnp.ndarray, color: jnp.ndarray, p: JBFParams = JBFParams()
+) -> jnp.ndarray:
+    """Two-pass cross-bilateral depth filter (JointBilateralFilter.cu:4-83).
+
+    depth: f32 [H, W] mm; color: u8 [H, W, 3] (raw — the guide smoothing is
+    applied here, as in JointBilateralFilter::Process).
+    """
+    guide = guide_bilateral(color, p).astype(jnp.float32)
+    return _jbf_core(
+        depth,
+        guide,
+        window=p.window,
+        spatial_sigma=p.spatial_sigma,
+        color_sigma=p.color_sigma,
+        depth_sigma=p.depth_sigma,
+    )
+
+
+def _jbf_core(
+    depth: jnp.ndarray,
+    guide: jnp.ndarray,
+    *,
+    window: int,
+    spatial_sigma: float,
+    color_sigma: float,
+    depth_sigma: float,
+) -> jnp.ndarray:
+    h, w = depth.shape
+    r = window // 2
+    spatial = stencil.gaussian_spatial_filter(window, spatial_sigma)
+    dpad = stencil.pad2d(depth, r, 0.0)
+    gpad = stencil.pad2d(guide, r, 0.0)
+
+    def color_filter(nb_guide):
+        if color_sigma == 0.0:
+            return jnp.zeros((h, w), jnp.float32)
+        return jnp.exp(-_color_dist2(guide, nb_guide) / (2.0 * color_sigma**2))
+
+    def apply_guard(filt, term):
+        # `if (term != 0) filter *= term` (JointBilateralFilter.cu:29-33)
+        return filt * jnp.where(term != 0.0, term, 1.0)
+
+    # pass 1: spatial x colour weighted mean of valid depth
+    wsum = jnp.zeros((h, w), jnp.float32)
+    dsum = jnp.zeros((h, w), jnp.float32)
+    for dy, dx in stencil.offsets(window):
+        nd = stencil.shift(dpad, dy, dx, r, (h, w))
+        ng = stencil.shift(gpad, dy, dx, r, (h, w))
+        valid = nd > VALID_DEPTH_MM
+        filt = jnp.ones((h, w), jnp.float32)
+        filt = apply_guard(filt, spatial[dy + r, dx + r])
+        filt = apply_guard(filt, color_filter(ng))
+        filt = jnp.where(valid, filt, 0.0)
+        dsum = dsum + nd * filt
+        wsum = wsum + filt
+    mean = dsum / jnp.where(wsum > 0.0, wsum, 1.0)
+
+    # pass 2: spatial x colour x depth(vs pass-1 mean)
+    num = jnp.zeros((h, w), jnp.float32)
+    den = jnp.zeros((h, w), jnp.float32)
+    for dy, dx in stencil.offsets(window):
+        nd = stencil.shift(dpad, dy, dx, r, (h, w))
+        ng = stencil.shift(gpad, dy, dx, r, (h, w))
+        valid = nd > VALID_DEPTH_MM
+        filt = jnp.ones((h, w), jnp.float32)
+        filt = apply_guard(filt, spatial[dy + r, dx + r])
+        filt = apply_guard(filt, color_filter(ng))
+        if depth_sigma != 0.0:
+            dterm = jnp.exp(-jnp.square(nd - mean) / (2.0 * depth_sigma**2))
+            filt = apply_guard(filt, dterm)
+        filt = jnp.where(valid, filt, 0.0)
+        num = num + nd * filt
+        den = den + filt
+    out = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
+    return jnp.where(wsum > 0.0, out, 0.0)
+
+
+def markov_random_field(
+    depth: jnp.ndarray, color: jnp.ndarray, p: MRFParams = MRFParams()
+) -> jnp.ndarray:
+    """One weighted-average sweep of the MRF energy (MarkovRandomField.cu:4-40).
+
+    z' = (z + sum lam * w_c * z_n) / (1 + sum lam * w_c),
+    w_c = exp(-sigma_c * |dc|^2), lam = smooth_sigma.  The raw colour image is
+    the guide (MRF does not pre-smooth).
+    """
+    h, w = depth.shape
+    r = p.window // 2
+    cf = color.astype(jnp.float32)
+    dpad = stencil.pad2d(depth, r, 0.0)
+    cpad = stencil.pad2d(cf, r, 0.0)
+
+    num = depth
+    den = jnp.ones((h, w), jnp.float32)
+    for dy, dx in stencil.offsets(p.window):
+        nd = stencil.shift(dpad, dy, dx, r, (h, w))
+        nc = stencil.shift(cpad, dy, dx, r, (h, w))
+        valid = nd > VALID_DEPTH_MM
+        if p.color_sigma != 0.0:
+            cfilt = jnp.exp(-p.color_sigma * _color_dist2(cf, nc))
+        else:
+            cfilt = jnp.zeros((h, w), jnp.float32)
+        filt = jnp.where(valid, p.smooth_sigma * cfilt, 0.0)
+        num = num + nd * filt
+        den = den + filt
+    return num / den

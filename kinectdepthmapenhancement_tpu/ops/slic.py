@@ -1,0 +1,618 @@
+"""SLIC superpixel family: base (SP), depth-adaptive (DASP), normal-adaptive (NASP).
+
+TPU-native re-design of SuperpixelSegmentation / DepthAdaptiveSuperpixel /
+NormalAdaptiveSuperpixel (reference SuperpixelSegmentation/*.cu).  The CUDA
+structure (one block per pixel searching neighbouring clusters; one block per
+cluster reducing a window) becomes:
+
+  * assignment: a statically unrolled loop over the cluster-grid neighbourhood
+    (4x4 for SP/DASP, 8x8 for NASP), each step a [K]-table gather by the
+    pixel's current cluster coordinates + vectorised distance formula,
+    running argmin with first-occurrence tie-break (== the reference's
+    shared-memory tree reduction, which keeps the lowest thread id on ties);
+  * cluster update: masked segment-sums over pixel features with the exact
+    window restriction of the reference (pixels outside the +-window around
+    the old cluster centre do not contribute), computed as one-hot matmul /
+    segment_sum on the flattened image.
+
+Distance formulas are replicated exactly per variant:
+  SP   (SuperpixelSegmentation.cu:197-206):
+       cd * sc/(ss+sc) + pd * ss/(ss+sc),  pd = |dpix| * S^2
+  DASP (DepthAdaptiveSuperpixel.cu:206-219):
+       cd*(sc/T)^2 + pd*(ss/T)^2 + |dz|*(sd/T)^2,      T = ss+sc+sd
+  NASP (NormalAdaptiveSuperpixel.cu:223-258):
+       ... + 255^2*(1-max(0, n.nc)) * (sn/T)^2,        T = ss+sc+sd+sn
+
+Documented bug-fidelity decisions (SURVEY.md §2 items a-d):
+  (a) the seed-gradient kernels index the comparison pixel with loop offsets
+      used as absolute coordinates (out-of-bounds reads) — FIXED here to the
+      clamped window neighbours the code obviously intended;
+  (b) the seed blue channel is stored as R+2 — FIXED (real blue channel);
+  (c) the cluster-centre reprojection bounds test `pixel.y <= height` is
+      always true, so the reprojection branch is dead and the stored pixel
+      centre is always the 2-D centroid — REPLICATED (we always use the
+      2-D centroid, like the reference actually computes);
+  (d) the NASP normal distance is uninitialised when either normal is
+      invalid — FIXED to 0.
+
+The per-iteration D2H label copies of the reference (e.g.
+DepthAdaptiveSuperpixel.cu:587) have no equivalent: everything stays on device.
+"""
+
+from __future__ import annotations
+
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kinectdepthmapenhancement_tpu.core.buffer2d import VALID_DEPTH_MM
+from kinectdepthmapenhancement_tpu.core.config import GridParams, SLICParams
+
+INIT_DISTANCE = 999999.9
+INVALID_NORMAL = -1.0
+
+
+class Clusters(NamedTuple):
+    """Cluster table [K, ...]; the reference's `superpixel` struct + the
+    DASP/NASP side tables (centers, normals, variance)."""
+
+    rgb: jnp.ndarray       # [K, 3] f32, integer-valued mean colour (u8 range)
+    xy: jnp.ndarray        # [K, 2] i32, mean pixel (x, y)
+    size: jnp.ndarray      # [K] i32 (SP/DASP) — pixel count
+    center: jnp.ndarray    # [K, 3] f32 — mean 3-D point (mm)
+    normal: jnp.ndarray    # [K, 3] f32 — mean normal (-1 sentinel)
+    variance: jnp.ndarray  # [K] f32 — normal coherence (mean dot with mean)
+
+
+class SLICResult(NamedTuple):
+    labels: jnp.ndarray    # [H, W] i32, cluster id or -1
+    distance: jnp.ndarray  # [H, W] f32
+    clusters: Clusters
+
+
+def _grid_geometry(grid: GridParams, height: int, width: int):
+    ws_x = width // grid.cols
+    ws_y = height // grid.rows
+    return ws_x, ws_y
+
+
+def init_labels(grid: GridParams, height: int, width: int) -> jnp.ndarray:
+    """Grid initialisation (initLD, SuperpixelSegmentation.cu:3-14)."""
+    ws_x, ws_y = _grid_geometry(grid, height, width)
+    v = jnp.arange(height, dtype=jnp.int32)[:, None]
+    u = jnp.arange(width, dtype=jnp.int32)[None, :]
+    return (v // ws_y) * grid.cols + (u // ws_x)
+
+
+def _normal_valid_or(n: jnp.ndarray) -> jnp.ndarray:
+    """`n.x != -1 || n.y != -1 || n.z != -1` (assignment-style validity)."""
+    return jnp.any(n != INVALID_NORMAL, axis=-1)
+
+
+def _normal_valid_and(n: jnp.ndarray) -> jnp.ndarray:
+    """`n.x != -1 && n.y != -1 && n.z != -1` (seed-style validity)."""
+    return jnp.all(n != INVALID_NORMAL, axis=-1)
+
+
+# ----------------------------------------------------------------- seeding
+
+
+def _color_gradient(color_f: jnp.ndarray) -> jnp.ndarray:
+    """Mean colour-distance gradient over an 11x11 clamped window
+    (sampleInitialClusters, SuperpixelSegmentation.cu:39-60; bug (a) fixed:
+    the comparison pixel is the clamped window neighbour)."""
+    h, w, _ = color_f.shape
+    sum_g = jnp.zeros((h, w), jnp.float32)
+    count = jnp.zeros((h, w), jnp.float32)
+    v = jnp.arange(h)[:, None]
+    u = jnp.arange(w)[None, :]
+    for dy in range(-5, 6):
+        for dx in range(-5, 6):
+            yy = jnp.clip(v + dy, 0, h - 1)
+            xx = jnp.clip(u + dx, 0, w - 1)
+            nb = color_f[yy, xx]
+            g = jnp.sqrt(jnp.sum(jnp.square(color_f - nb), axis=-1))
+            sum_g = sum_g + g
+            count = count + (g > 0.0)
+    return jnp.where(count > 0, sum_g / jnp.maximum(count, 1.0), jnp.inf)
+
+
+def _nasp_gradient(color_f: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
+    """NASP seed gradient: colour term scaled by (1 - |n.n'|) when both
+    normals are valid (AND-validity), NormalAdaptiveSuperpixel.cu:39-71."""
+    h, w, _ = color_f.shape
+    valid_c = _normal_valid_and(normals)
+    sum_g = jnp.zeros((h, w), jnp.float32)
+    count = jnp.zeros((h, w), jnp.float32)
+    v = jnp.arange(h)[:, None]
+    u = jnp.arange(w)[None, :]
+    for dy in range(-5, 6):
+        for dx in range(-5, 6):
+            yy = jnp.clip(v + dy, 0, h - 1)
+            xx = jnp.clip(u + dx, 0, w - 1)
+            nb = color_f[yy, xx]
+            g = jnp.sqrt(jnp.sum(jnp.square(color_f - nb), axis=-1))
+            nnb = normals[yy, xx]
+            both = valid_c & _normal_valid_and(nnb)
+            ndiff = jnp.abs(jnp.sum(normals * nnb, axis=-1))
+            g = jnp.where(both, g * (1.0 - ndiff), g)
+            sum_g = sum_g + g
+            count = count + (g > 0.0)
+    return jnp.where(count > 0, sum_g / jnp.maximum(count, 1.0), jnp.inf)
+
+
+def sample_seeds(
+    gradient: jnp.ndarray,
+    grid: GridParams,
+    height: int,
+    width: int,
+    window: int,
+) -> jnp.ndarray:
+    """Per cluster, the (x, y) of the minimum-gradient pixel in a
+    `window x window` block around the grid centre, ties to the first pixel
+    in row-major offset order (== the reference tree reduction).
+
+    Returns seeds [K, 2] i32 (x, y).  window is the CUDA blockDim (16 for SP,
+    4 for DASP, 8 for NASP); offsets run -window/2 .. window/2 - 1.
+    """
+    ws_x, ws_y = _grid_geometry(grid, height, width)
+    r = window // 2
+    shape = (grid.rows, grid.cols, window, window)
+    cx = (jnp.arange(grid.cols, dtype=jnp.int32) * ws_x + ws_x // 2)
+    cy = (jnp.arange(grid.rows, dtype=jnp.int32) * ws_y + ws_y // 2)
+    offs = jnp.arange(window, dtype=jnp.int32) - r  # -w/2 .. w/2-1
+    yy = jnp.broadcast_to(cy[:, None, None, None] + offs[None, None, :, None], shape)
+    xx = jnp.broadcast_to(cx[None, :, None, None] + offs[None, None, None, :], shape)
+    yy = jnp.clip(yy, 0, height - 1)
+    xx = jnp.clip(xx, 0, width - 1)
+    g = gradient[yy, xx].reshape(grid.rows, grid.cols, -1)
+    best = jnp.argmin(g, axis=-1)[..., None]
+    seed_y = jnp.take_along_axis(yy.reshape(grid.rows, grid.cols, -1), best, -1)[..., 0]
+    seed_x = jnp.take_along_axis(xx.reshape(grid.rows, grid.cols, -1), best, -1)[..., 0]
+    return jnp.stack([seed_x.reshape(-1), seed_y.reshape(-1)], axis=-1).astype(jnp.int32)
+
+
+def init_clusters(
+    seeds: jnp.ndarray,
+    color: jnp.ndarray,
+    points: Optional[jnp.ndarray],
+    normals: Optional[jnp.ndarray],
+) -> Clusters:
+    """Seed the cluster table (store sections of sampleInitialClusters*;
+    bug (b) fixed: the real blue channel is stored)."""
+    k = seeds.shape[0]
+    sx, sy = seeds[:, 0], seeds[:, 1]
+    rgb = color[sy, sx].astype(jnp.float32)
+    center = (
+        points[sy, sx]
+        if points is not None
+        else jnp.zeros((k, 3), jnp.float32)
+    )
+    normal = (
+        normals[sy, sx]
+        if normals is not None
+        else jnp.full((k, 3), INVALID_NORMAL, jnp.float32)
+    )
+    return Clusters(
+        rgb=rgb,
+        xy=seeds,
+        size=jnp.zeros((k,), jnp.int32),
+        center=center,
+        normal=normal,
+        variance=jnp.zeros((k,), jnp.float32),
+    )
+
+
+# -------------------------------------------------------------- assignment
+
+
+def _assign(
+    labels: jnp.ndarray,
+    distance: jnp.ndarray,
+    clusters: Clusters,
+    color_f: jnp.ndarray,
+    points: Optional[jnp.ndarray],
+    normals: Optional[jnp.ndarray],
+    grid: GridParams,
+    params: SLICParams,
+    variant: str,
+    neighborhood: int,
+    s_scale: float,
+):
+    """One label-assignment sweep (calculate_LD / calculateLD / calculateLD_NASP)."""
+    h, w = labels.shape
+    r = neighborhood // 2
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    # current cluster grid coords; C integer division truncates toward zero,
+    # and label -1 only occurs for pixels that get re-marked -1 afterwards,
+    # so clamping to 0 is behaviour-preserving.
+    lab0 = jnp.maximum(labels, 0)
+    cur_cx = lab0 % grid.cols
+    cur_cy = lab0 // grid.cols
+
+    if variant == "sp":
+        denom = params.spatial_sigma + params.color_sigma
+        w_col = params.color_sigma / denom
+        w_spa = params.spatial_sigma / denom
+    else:
+        total = params.spatial_sigma + params.color_sigma + params.depth_sigma
+        if variant == "nasp":
+            total = total + params.normal_sigma
+        w_col = (params.color_sigma / total) ** 2
+        w_spa = (params.spatial_sigma / total) ** 2
+        w_dep = (params.depth_sigma / total) ** 2
+        w_nor = (params.normal_sigma / total) ** 2 if variant == "nasp" else 0.0
+
+    z = points[..., 2] if points is not None else None
+    best_d = jnp.full((h, w), jnp.inf, jnp.float32)
+    best_l = jnp.full((h, w), -1, jnp.int32)
+
+    def consider(cand_d, cand_l, best):
+        bd, bl = best
+        take = cand_d < bd  # strict: first occurrence wins ties (tid order)
+        return jnp.where(take, cand_d, bd), jnp.where(take, cand_l, bl)
+
+    rgbt, xyt = clusters.rgb, clusters.xy
+    cent, norm = clusters.center, clusters.normal
+    for dy in range(-r, r):
+        for dx in range(-r, r):
+            rcx = cur_cx + dx
+            rcy = cur_cy + dy
+            in_grid = (rcx >= 0) & (rcx < grid.cols) & (rcy >= 0) & (rcy < grid.rows)
+            rid = jnp.where(in_grid, rcy * grid.cols + rcx, 0)
+            c_rgb = jnp.take(rgbt, rid, axis=0)
+            c_xy = jnp.take(xyt, rid, axis=0).astype(jnp.float32)
+            cd = jnp.sum(jnp.square(color_f - c_rgb), axis=-1)
+            pd = jnp.sqrt(
+                jnp.square(u - c_xy[..., 0]) + jnp.square(v - c_xy[..., 1])
+            ) * (s_scale**2)
+            if variant == "sp":
+                dist = cd * w_col + pd * w_spa
+            else:
+                c_c = jnp.take(cent, rid, axis=0)
+                zpair = (z > VALID_DEPTH_MM) & (c_c[..., 2] > VALID_DEPTH_MM)
+                dd = jnp.where(zpair, jnp.abs(z - c_c[..., 2]), 0.0)
+                dist = cd * w_col + pd * w_spa + dd * w_dep
+                if variant == "nasp":
+                    c_n = jnp.take(norm, rid, axis=0)
+                    npair = (
+                        zpair
+                        & _normal_valid_or(normals)
+                        & _normal_valid_or(c_n)
+                    )
+                    dot = jnp.sum(normals * c_n, axis=-1)
+                    nd = jnp.where(
+                        npair, 255.0**2 * (1.0 - jnp.maximum(dot, 0.0)), 0.0
+                    )
+                    dist = dist + nd * w_nor
+            cand_d = jnp.where(in_grid, dist, distance)
+            cand_l = jnp.where(in_grid, rid, labels)
+            best_d, best_l = consider(cand_d, cand_l, (best_d, best_l))
+
+    new_labels, new_dist = best_l, best_d
+    # invalid-depth override (DepthAdaptiveSuperpixel.cu:306-312 /
+    # NormalAdaptiveSuperpixel.cu:346-352)
+    if variant == "dasp" and params.depth_sigma != 0.0:
+        invalid = z < VALID_DEPTH_MM
+        new_labels = jnp.where(invalid, -1, new_labels)
+        new_dist = jnp.where(invalid, 0.0, new_dist)
+    if variant == "nasp" and (params.depth_sigma != 0.0 or params.normal_sigma != 0.0):
+        invalid = z < VALID_DEPTH_MM
+        new_labels = jnp.where(invalid, -1, new_labels)
+        new_dist = jnp.where(invalid, 0.0, new_dist)
+    return new_labels, new_dist
+
+
+# ----------------------------------------------------------- cluster stats
+
+
+def _window_mask(
+    labels: jnp.ndarray, clusters: Clusters, lo: int, hi: int
+) -> jnp.ndarray:
+    """Pixels within the reference's update window [lo, hi] (both dims)
+    relative to their cluster's OLD mean pixel, and with a matching label."""
+    h, w = labels.shape
+    lab0 = jnp.maximum(labels, 0)
+    cxy = jnp.take(clusters.xy, lab0, axis=0)
+    v = jnp.arange(h, dtype=jnp.int32)[:, None]
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    dx = u - cxy[..., 0]
+    dy = v - cxy[..., 1]
+    inside = (dx >= lo) & (dx <= hi) & (dy >= lo) & (dy <= hi)
+    return inside & (labels >= 0)
+
+
+def _segment_sum(feats: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray, k: int):
+    """sum of feats[H,W,F] per cluster over masked pixels -> [K, F]."""
+    f = feats.reshape(-1, feats.shape[-1])
+    l = jnp.where(mask, labels, k).reshape(-1)
+    out = jax.ops.segment_sum(f, l, num_segments=k + 1)
+    return out[:k]
+
+
+def _update_sp(
+    labels, clusters, color_f, grid, window_range, h, w
+) -> Clusters:
+    """Base-SLIC cluster update (analyzeClusters, SuperpixelSegmentation.cu:297-487)."""
+    k = grid.num_clusters
+    lo, hi = window_range
+    mask = _window_mask(labels, clusters, lo, hi)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ones = jnp.ones((h, w), jnp.float32)
+    feats = jnp.concatenate(
+        [
+            color_f,
+            jnp.stack([u, v, ones], axis=-1),
+        ],
+        axis=-1,
+    )
+    sums = _segment_sum(feats, labels, mask, k)
+    size = sums[:, 5]
+    nz = size > 0
+    safe = jnp.maximum(size, 1.0)
+    rgb = jnp.clip(jnp.floor(sums[:, 0:3] / safe[:, None]), 0, 255)
+    xy = jnp.floor(sums[:, 3:5] / safe[:, None]).astype(jnp.int32)
+    return Clusters(
+        rgb=jnp.where(nz[:, None], rgb, clusters.rgb),
+        xy=jnp.where(nz[:, None], xy, clusters.xy),
+        size=jnp.where(nz, size.astype(jnp.int32), clusters.size),
+        center=clusters.center,
+        normal=clusters.normal,
+        variance=clusters.variance,
+    )
+
+
+def _update_dasp(
+    labels, clusters, color_f, points, grid, window_range, h, w
+) -> Clusters:
+    """DASP cluster update (analyzeClusters, DepthAdaptiveSuperpixel.cu:315-568).
+
+    3-D centre = sum of ALL labelled points / count of valid (z>50) points;
+    pixel centre = 2-D centroid (reprojection branch dead, bug (c))."""
+    k = grid.num_clusters
+    lo, hi = window_range
+    mask = _window_mask(labels, clusters, lo, hi)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ones = jnp.ones((h, w), jnp.float32)
+    validz = (points[..., 2] > VALID_DEPTH_MM).astype(jnp.float32)
+    feats = jnp.concatenate(
+        [
+            color_f,                               # 0:3
+            jnp.stack([u, v, ones], axis=-1),      # 3:6 x, y, size
+            points,                                # 6:9
+            validz[..., None],                     # 9 num_of_points
+        ],
+        axis=-1,
+    )
+    sums = _segment_sum(feats, labels, mask, k)
+    size = sums[:, 5]
+    nz = size > 0
+    safe = jnp.maximum(size, 1.0)
+    rgb = jnp.clip(jnp.floor(sums[:, 0:3] / safe[:, None]), 0, 255)
+    xy = jnp.floor(sums[:, 3:5] / safe[:, None]).astype(jnp.int32)
+    npts = sums[:, 9]
+    has_pts = npts > 0
+    center = sums[:, 6:9] / jnp.maximum(npts, 1.0)[:, None]
+    return Clusters(
+        rgb=jnp.where(nz[:, None], rgb, clusters.rgb),
+        xy=jnp.where(nz[:, None], xy, clusters.xy),
+        size=jnp.where(nz, size.astype(jnp.int32), clusters.size),
+        center=jnp.where((nz & has_pts)[:, None], center, clusters.center),
+        normal=clusters.normal,
+        variance=clusters.variance,
+    )
+
+
+def _update_nasp_analyze(
+    labels, clusters, color_f, points, normals, grid, window_range, h, w
+) -> Clusters:
+    """NASP plain stats (analyzeClusters_NASP, NormalAdaptiveSuperpixel.cu:356-685).
+
+    Accepts a pixel's 3-D point / normal when z>50 and the normal is valid
+    (OR-validity).  Centre = the 3-D point AT the 2-D centroid pixel when that
+    pixel has valid depth, else the mean of accepted points (reprojection
+    fallback dead, bug (c)).  Cluster normal = UNnormalised mean."""
+    k = grid.num_clusters
+    lo, hi = window_range
+    mask = _window_mask(labels, clusters, lo, hi)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ones = jnp.ones((h, w), jnp.float32)
+    accept = (points[..., 2] > VALID_DEPTH_MM) & _normal_valid_or(normals)
+    acc = accept.astype(jnp.float32)[..., None]
+    feats = jnp.concatenate(
+        [
+            color_f,                           # 0:3
+            jnp.stack([u, v, ones], axis=-1),  # 3:6
+            points * acc,                      # 6:9
+            normals * acc,                     # 9:12
+            acc,                               # 12
+        ],
+        axis=-1,
+    )
+    sums = _segment_sum(feats, labels, mask, k)
+    size = sums[:, 5]
+    nz = size > 0
+    safe = jnp.maximum(size, 1.0)
+    rgb = jnp.clip(jnp.floor(sums[:, 0:3] / safe[:, None]), 0, 255)
+    xy = jnp.floor(sums[:, 3:5] / safe[:, None]).astype(jnp.int32)
+    npts = sums[:, 12]
+    has_pts = npts > 0
+
+    px = jnp.clip(xy[:, 0], 0, w - 1)
+    py = jnp.clip(xy[:, 1], 0, h - 1)
+    pt_at_centroid = points[py, px]
+    centroid_valid = pt_at_centroid[..., 2] > VALID_DEPTH_MM
+    mean_pts = sums[:, 6:9] / jnp.maximum(npts, 1.0)[:, None]
+    center = jnp.where(centroid_valid[:, None], pt_at_centroid, mean_pts)
+    normal = sums[:, 9:12] / jnp.maximum(npts, 1.0)[:, None]
+
+    center = jnp.where(has_pts[:, None], center, jnp.zeros_like(center))
+    normal = jnp.where(
+        has_pts[:, None], normal, jnp.full_like(normal, INVALID_NORMAL)
+    )
+    return Clusters(
+        rgb=jnp.where(nz[:, None], rgb, clusters.rgb),
+        xy=jnp.where(nz[:, None], xy, clusters.xy),
+        size=jnp.where(nz, size.astype(jnp.int32), clusters.size),
+        center=jnp.where(nz[:, None], center, clusters.center),
+        normal=jnp.where(nz[:, None], normal, clusters.normal),
+        variance=clusters.variance,
+    )
+
+
+def _update_nasp_weighted(
+    labels, clusters, color_f, points, normals, grid, params, window_range, h, w
+) -> Clusters:
+    """NASP bilateral-weighted stats (calculateWeightedAverage,
+    NormalAdaptiveSuperpixel.cu:687-1068).  Runs on the analyze-updated table.
+
+    Colour/pixel sums are weighted by exp(-dc^2/2sc^2)*exp(-dpix^2/2ss^2)
+    against the cluster's mean colour / pixel centre; 3-D/normal sums accept
+    pixels with z>50, valid normal, and dot(n, n_cluster) in (0.5, 1]
+    (acos(clamped dot) < pi/3)."""
+    k = grid.num_clusters
+    lo, hi = window_range
+    mask = _window_mask(labels, clusters, lo, hi)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    lab0 = jnp.maximum(labels, 0)
+    c_rgb = jnp.take(clusters.rgb, lab0, axis=0)
+    c_xy = jnp.take(clusters.xy, lab0, axis=0).astype(jnp.float32)
+    c_n = jnp.take(clusters.normal, lab0, axis=0)
+
+    cdiff = jnp.sum(jnp.square(color_f - c_rgb), axis=-1)
+    cfilt = jnp.exp(-cdiff / (2.0 * params.color_sigma**2))
+    sdiff = jnp.square(u - c_xy[..., 0]) + jnp.square(v - c_xy[..., 1])
+    sfilt = jnp.exp(-sdiff / (2.0 * params.spatial_sigma**2))
+    wgt = (cfilt * sfilt)[..., None]
+
+    dot = jnp.sum(normals * c_n, axis=-1)
+    dclamp = jnp.maximum(dot, 0.0)
+    accept = (
+        (points[..., 2] > VALID_DEPTH_MM)
+        & _normal_valid_or(normals)
+        & (dclamp > 0.5)
+        & (dclamp <= 1.0)
+    )
+    acc = accept.astype(jnp.float32)[..., None]
+
+    feats = jnp.concatenate(
+        [
+            color_f * wgt,                                  # 0:3
+            jnp.stack([u, v], axis=-1) * wgt,               # 3:5
+            wgt,                                            # 5 weight sum
+            points * acc,                                   # 6:9
+            normals * acc,                                  # 9:12
+            dclamp[..., None] * acc,                        # 12 variance sum
+            acc,                                            # 13 num accepted
+        ],
+        axis=-1,
+    )
+    sums = _segment_sum(feats, labels, mask, k)
+    wsum = sums[:, 5]
+    nz = wsum != 0.0
+    safe = jnp.where(nz, wsum, 1.0)
+    rgb = jnp.clip(jnp.floor(sums[:, 0:3] / safe[:, None]), 0, 255)
+    xy = jnp.floor(sums[:, 3:5] / safe[:, None]).astype(jnp.int32)
+    npts = sums[:, 13]
+    has_pts = npts > 0
+
+    px = jnp.clip(xy[:, 0], 0, w - 1)
+    py = jnp.clip(xy[:, 1], 0, h - 1)
+    pt_at_centroid = points[py, px]
+    centroid_valid = pt_at_centroid[..., 2] > VALID_DEPTH_MM
+    mean_pts = sums[:, 6:9] / jnp.maximum(npts, 1.0)[:, None]
+    center = jnp.where(centroid_valid[:, None], pt_at_centroid, mean_pts)
+
+    nmean = sums[:, 9:12] / jnp.maximum(npts, 1.0)[:, None]
+    nlen = jnp.sqrt(jnp.sum(jnp.square(nmean), axis=-1))
+    normal = nmean / jnp.maximum(nlen, 1e-30)[:, None]
+    variance = sums[:, 12] / jnp.maximum(npts, 1.0)
+
+    center = jnp.where(has_pts[:, None], center, jnp.zeros_like(center))
+    normal = jnp.where(
+        has_pts[:, None], normal, jnp.full_like(normal, INVALID_NORMAL)
+    )
+    variance = jnp.where(has_pts, variance, 0.0)
+    return Clusters(
+        rgb=jnp.where(nz[:, None], rgb, clusters.rgb),
+        xy=jnp.where(nz[:, None], xy, clusters.xy),
+        size=jnp.where(nz, wsum.astype(jnp.int32), clusters.size),
+        center=jnp.where(nz[:, None], center, clusters.center),
+        normal=jnp.where(nz[:, None], normal, clusters.normal),
+        variance=jnp.where(nz, variance, clusters.variance),
+    )
+
+
+# ------------------------------------------------------------- entry point
+
+
+def segment(
+    color: jnp.ndarray,
+    points: Optional[jnp.ndarray] = None,
+    normals: Optional[jnp.ndarray] = None,
+    *,
+    grid: GridParams = GridParams(),
+    params: SLICParams,
+    variant: str = "dasp",
+) -> SLICResult:
+    """Run a full segmentation: seed + `params.iterations` x (assign, update).
+
+    variant: "sp" (colour SLIC, SuperpixelSegmentation::Process),
+             "dasp" (DepthAdaptiveSuperpixel::Segmentation),
+             "nasp" (NormalAdaptiveSuperpixel::Segmentation).
+    """
+    assert variant in ("sp", "dasp", "nasp")
+    h, w = color.shape[:2]
+    ws_x, ws_y = _grid_geometry(grid, h, w)
+    s_scale = (ws_x + ws_y) / 2.0
+    color_f = color.astype(jnp.float32)
+
+    if variant == "sp":
+        seed_window, neighborhood = 16, 4
+        rp = ws_x * 4 // 16 + 1
+        gradient = _color_gradient(color_f)
+    elif variant == "dasp":
+        seed_window, neighborhood = 4, 4
+        rp = ws_x * 2 // 16 + 1
+        gradient = _color_gradient(color_f)
+    else:
+        seed_window, neighborhood = 8, 8
+        rp = ws_x * 2 // 16 + 1
+        gradient = _nasp_gradient(color_f, normals)
+    window_range = (-8 * rp, 8 * rp - 1)
+
+    seeds = sample_seeds(gradient, grid, h, w, seed_window)
+    clusters = init_clusters(
+        seeds, color, points if variant != "sp" else None, normals
+    )
+    labels = init_labels(grid, h, w)
+    distance = jnp.full((h, w), INIT_DISTANCE, jnp.float32)
+
+    for _ in range(params.iterations):
+        labels, distance = _assign(
+            labels, distance, clusters, color_f, points, normals,
+            grid, params, variant, neighborhood, s_scale,
+        )
+        if variant == "sp":
+            clusters = _update_sp(labels, clusters, color_f, grid, window_range, h, w)
+        elif variant == "dasp":
+            clusters = _update_dasp(
+                labels, clusters, color_f, points, grid, window_range, h, w
+            )
+        else:
+            clusters = _update_nasp_analyze(
+                labels, clusters, color_f, points, normals, grid, window_range, h, w
+            )
+            clusters = _update_nasp_weighted(
+                labels, clusters, color_f, points, normals, grid, params,
+                window_range, h, w,
+            )
+    return SLICResult(labels=labels, distance=distance, clusters=clusters)

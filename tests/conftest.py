@@ -1,0 +1,37 @@
+"""Test configuration: force CPU with 8 virtual devices BEFORE jax imports,
+so sharding/collective tests run without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def small_scene():
+    """Small procedural RGB-D scene for op-level golden tests."""
+    from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
+    from kinectdepthmapenhancement_tpu.core.camera import default_kinect_intrinsics
+
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    color, noisy, gt = make_noisy_scene(h, w, intr, seed=3)
+    return {"color": color, "depth": noisy, "gt": gt, "intr": intr}
+
+
+@pytest.fixture(scope="session")
+def full_scene():
+    """Full 640x480 scene for end-to-end pipeline tests."""
+    from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
+    from kinectdepthmapenhancement_tpu.core.camera import default_kinect_intrinsics
+
+    intr = default_kinect_intrinsics()
+    color, noisy, gt = make_noisy_scene(480, 640, intr, seed=0)
+    return {"color": color, "depth": noisy, "gt": gt, "intr": intr}

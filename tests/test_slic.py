@@ -1,0 +1,104 @@
+import numpy as np
+import jax.numpy as jnp
+
+from kinectdepthmapenhancement_tpu.core.camera import projective_to_real
+from kinectdepthmapenhancement_tpu.core.config import GridParams, SLICParams
+from kinectdepthmapenhancement_tpu.ops import slic
+
+import oracle_slic
+
+
+def _setup(small_scene, h=48, w=64):
+    color = small_scene["color"][:h, :w]
+    depth = small_scene["depth"][:h, :w]
+    intr = small_scene["intr"]
+    points = np.asarray(projective_to_real(jnp.asarray(depth), intr))
+    # synthetic piecewise normals with some invalids, unit length
+    n = np.zeros((h, w, 3), np.float32)
+    n[..., 2] = -1.0
+    n[h // 2 :, :, 1] = -0.6
+    n[h // 2 :, :, 2] = -0.8
+    n[depth <= 50.0] = -1.0
+    return color, depth, points.astype(np.float32), n
+
+
+def _compare(got: slic.SLICResult, want, *, check_normals=False):
+    np.testing.assert_array_equal(np.asarray(got.labels), want["labels"])
+    np.testing.assert_allclose(np.asarray(got.clusters.rgb), want["rgb"], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.clusters.xy), want["xy"])
+    np.testing.assert_allclose(
+        np.asarray(got.clusters.center), want["center"], rtol=1e-4, atol=0.05
+    )
+    if check_normals:
+        np.testing.assert_allclose(
+            np.asarray(got.clusters.normal), want["normal"], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.clusters.variance), want["variance"], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sp_matches_oracle(small_scene):
+    color, depth, points, _ = _setup(small_scene)
+    grid = GridParams(rows=3, cols=4)
+    p = SLICParams(200.0, 40.0, 0.0, 0.0, 2)
+    got = slic.segment(jnp.asarray(color), None, None, grid=grid, params=p, variant="sp")
+    want = oracle_slic.slic_segment(
+        color, None, None, 3, 4, 200.0, 40.0, 0.0, 0.0, 2, "sp"
+    )
+    _compare(got, want)
+
+
+def test_dasp_matches_oracle(small_scene):
+    color, depth, points, _ = _setup(small_scene)
+    grid = GridParams(rows=3, cols=4)
+    p = SLICParams(100.0, 20.0, 200.0, 0.0, 2)
+    got = slic.segment(
+        jnp.asarray(color), jnp.asarray(points), None, grid=grid, params=p, variant="dasp"
+    )
+    want = oracle_slic.slic_segment(
+        color, points, None, 3, 4, 100.0, 20.0, 200.0, 0.0, 2, "dasp"
+    )
+    _compare(got, want)
+    # invalid depth pixels must carry label -1 when depth_sigma != 0
+    assert np.all(np.asarray(got.labels)[depth < 50.0] == -1)
+
+
+def test_dasp_sigma0_acts_as_color_slic(small_scene):
+    """With depth_sigma=0 (the 'SP' role in RGBF/SPDSP) no -1 labels appear."""
+    color, depth, points, _ = _setup(small_scene)
+    grid = GridParams(rows=3, cols=4)
+    p = SLICParams(200.0, 10.0, 0.0, 0.0, 1)
+    got = slic.segment(
+        jnp.asarray(color), jnp.asarray(points), None, grid=grid, params=p, variant="dasp"
+    )
+    assert np.all(np.asarray(got.labels) >= 0)
+
+
+def test_nasp_matches_oracle(small_scene):
+    color, depth, points, normals = _setup(small_scene)
+    grid = GridParams(rows=3, cols=4)
+    p = SLICParams(10.0, 50.0, 50.0, 150.0, 2)
+    got = slic.segment(
+        jnp.asarray(color),
+        jnp.asarray(points),
+        jnp.asarray(normals),
+        grid=grid,
+        params=p,
+        variant="nasp",
+    )
+    want = oracle_slic.slic_segment(
+        color, points, normals, 3, 4, 10.0, 50.0, 50.0, 150.0, 2, "nasp"
+    )
+    _compare(got, want, check_normals=True)
+
+
+def test_labels_cover_grid(small_scene):
+    color, depth, points, _ = _setup(small_scene)
+    grid = GridParams(rows=3, cols=4)
+    p = SLICParams(100.0, 20.0, 200.0, 0.0, 1)
+    got = slic.segment(
+        jnp.asarray(color), jnp.asarray(points), None, grid=grid, params=p, variant="dasp"
+    )
+    lab = np.asarray(got.labels)
+    assert lab.max() < 12 and lab.min() >= -1
