@@ -1,0 +1,212 @@
+"""The enhancement pipelines: JBF, MRF, RGBF, KDE ("PROPOSED"), SPDSP, TOF.
+
+Each reference pipeline class (ctor allocates buffers, Process() chains
+kernel launches with D2H copies in between) becomes a pure jittable function
+over arrays; intermediates that the reference exposes through getters are
+returned in a NamedTuple.  No host round-trips: the reference's per-stage
+label downloads, cv::imwrite dumps (KinectDepthEnhancement.cpp:69,77) and
+host PCA (SPDepthSuperResolution.cpp:66-142) all stay on device.
+
+Call-site parameter sets are preserved exactly (see core/config.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kinectdepthmapenhancement_tpu.core.camera import (
+    Intrinsics,
+    normalized_rays,
+    projective_to_real,
+)
+from kinectdepthmapenhancement_tpu.core.config import (
+    KDEConfig,
+    RGBFConfig,
+    SPDSPConfig,
+    TOFConfig,
+)
+from kinectdepthmapenhancement_tpu.ops import bilateral, ccl, ers, normals, plane, slic
+
+
+class RGBFResult(NamedTuple):
+    refined_depth: jnp.ndarray
+    refined_labels: jnp.ndarray
+    color_labels: jnp.ndarray
+    depth_labels: jnp.ndarray
+
+
+class KDEResult(NamedTuple):
+    optimized_points: jnp.ndarray   # [H, W, 3] mm — the PROPOSED output
+    plane_fitted: jnp.ndarray
+    jbf_depth: jnp.ndarray
+    normals: jnp.ndarray
+    nasp_labels: jnp.ndarray
+    merged_labels: jnp.ndarray
+    merged_variance: jnp.ndarray
+    merged_sizes: jnp.ndarray
+
+
+class SPDSPResult(NamedTuple):
+    optimized_points: jnp.ndarray
+    plane_fitted: jnp.ndarray
+    refined_depth: jnp.ndarray
+    refined_labels: jnp.ndarray
+    planes_nd: jnp.ndarray
+
+
+class TOFResult(NamedTuple):
+    optimized_points: jnp.ndarray   # == input points (optimisation disabled
+                                    # in the reference, Projection_PCA.cu:118-125)
+    plane_fitted: jnp.ndarray
+    refined_depth: jnp.ndarray
+    refined_labels: jnp.ndarray
+    merged_labels: jnp.ndarray
+    merged_eigenvalues: jnp.ndarray
+
+
+def jbf_pipeline(depth, color, cfg: KDEConfig = KDEConfig()):
+    """Standalone JBF baseline (main.cpp:179)."""
+    return bilateral.joint_bilateral_filter(depth, color, cfg.jbf)
+
+
+def mrf_pipeline(depth, color, cfg: KDEConfig = KDEConfig()):
+    """Standalone MRF baseline (main.cpp:186)."""
+    return bilateral.markov_random_field(depth, color, cfg.mrf)
+
+
+def rgbf_pipeline(
+    depth: jnp.ndarray,
+    points: jnp.ndarray,
+    color: jnp.ndarray,
+    cfg: RGBFConfig = RGBFConfig(),
+) -> RGBFResult:
+    """RegionGrowingBilateralFilter::Process (RegionGrowingBilateralFilter.cpp:27-38):
+    colour-SLIC + depth-SLIC -> edge-refined superpixel filter."""
+    sp = slic.segment(color, points, grid=cfg.grid, params=cfg.color_slic, variant="dasp")
+    dasp = slic.segment(color, points, grid=cfg.grid, params=cfg.depth_slic, variant="dasp")
+    refined = ers.edge_refined_superpixel(sp.labels, dasp.labels, depth, color, cfg.ers)
+    return RGBFResult(
+        refined_depth=refined.depth,
+        refined_labels=refined.labels,
+        color_labels=sp.labels,
+        depth_labels=dasp.labels,
+    )
+
+
+def kde_pipeline(
+    depth: jnp.ndarray,
+    color: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: KDEConfig = KDEConfig(),
+) -> KDEResult:
+    """KinectDepthEnhancement::Process — the PROPOSED method
+    (KinectDepthEnhancement.cpp:56-81): JBF -> projective-to-real -> CM
+    normals -> NASP -> CCL merge -> plane projection with
+    variance_optimization + depth bilateral."""
+    h, w = depth.shape
+    rays = normalized_rays(intr, h, w)
+
+    jbf_depth = bilateral.joint_bilateral_filter(depth, color, cfg.jbf)
+    points = projective_to_real(jbf_depth, intr)
+    nmap = normals.generate_normal_map(points, cfg.normals)
+    nasp = slic.segment(
+        color, points, nmap, grid=cfg.grid, params=cfg.nasp, variant="nasp"
+    )
+    merged = ccl.merge_normals(
+        nasp.labels, nasp.clusters.normal, nasp.clusters.center, cfg.ccl
+    )
+    plane_fitted = plane.set_pseudo_depth_map(
+        points, rays, merged.nd_map, merged.labels, merged.variance
+    )
+    optimized = plane.variance_optimization(
+        points,
+        plane_fitted,
+        merged.labels,
+        merged.variance,
+        merged.sizes,
+        min_cluster_size=cfg.min_cluster_size,
+        agree_tight=cfg.agree_tight,
+        agree_loose=cfg.agree_loose,
+    )
+    optimized = plane.depth_bilateral(optimized, rays, cfg.projection)
+    return KDEResult(
+        optimized_points=optimized,
+        plane_fitted=plane_fitted,
+        jbf_depth=jbf_depth,
+        normals=nmap,
+        nasp_labels=nasp.labels,
+        merged_labels=merged.labels,
+        merged_variance=merged.variance,
+        merged_sizes=merged.sizes,
+    )
+
+
+def spdsp_pipeline(
+    depth: jnp.ndarray,
+    points: jnp.ndarray,
+    color: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: SPDSPConfig = SPDSPConfig(),
+) -> SPDSPResult:
+    """SPDepthSuperResolution::Process (SPDepthSuperResolution.cpp:57-191):
+    SP + DASP (5 iters) -> ERS -> per-cluster PCA planes (on device here) ->
+    plane projection with 20 MRF sweeps."""
+    h, w = depth.shape
+    rays = normalized_rays(intr, h, w)
+    k = cfg.grid.num_clusters
+
+    sp = slic.segment(color, points, grid=cfg.grid, params=cfg.color_slic, variant="dasp")
+    dasp = slic.segment(color, points, grid=cfg.grid, params=cfg.depth_slic, variant="dasp")
+    refined = ers.edge_refined_superpixel(sp.labels, dasp.labels, depth, color, cfg.ers)
+    rpoints = projective_to_real(refined.depth, intr)
+    planes = plane.pca_planes(rpoints, refined.labels, k)
+    plane_fitted = plane.set_pseudo_depth_cluster(
+        rpoints, rays, planes.nd, refined.labels, strict=False
+    )
+    optimized = plane.mrf_optimization(rpoints, plane_fitted, rays, cfg.projection)
+    return SPDSPResult(
+        optimized_points=optimized,
+        plane_fitted=plane_fitted,
+        refined_depth=refined.depth,
+        refined_labels=refined.labels,
+        planes_nd=planes.nd,
+    )
+
+
+def tof_pipeline(
+    depth: jnp.ndarray,
+    points: jnp.ndarray,
+    color: jnp.ndarray,
+    intr: Intrinsics,
+    cfg: TOFConfig = TOFConfig(),
+) -> TOFResult:
+    """TOFDepthInterpolation::Process (TOFDepthInterpolation.cpp:60-195):
+    like SPDSP but keeps the smallest eigenvalue, merges with the PCA
+    predicate, and projects WITHOUT iterative optimisation (the reference's
+    optimisation kernels are commented out, so optimized == input points)."""
+    h, w = depth.shape
+    rays = normalized_rays(intr, h, w)
+    k = cfg.grid.num_clusters
+
+    sp = slic.segment(color, points, grid=cfg.grid, params=cfg.color_slic, variant="dasp")
+    dasp = slic.segment(color, points, grid=cfg.grid, params=cfg.depth_slic, variant="dasp")
+    refined = ers.edge_refined_superpixel(sp.labels, dasp.labels, depth, color, cfg.ers)
+    rpoints = projective_to_real(refined.depth, intr)
+    planes = plane.pca_planes(rpoints, refined.labels, k)
+    merged = ccl.merge_pca(
+        refined.labels, planes.nd, planes.centers, planes.eigenvalues, cfg.ccl_pca
+    )
+    plane_fitted = plane.set_pseudo_depth_cluster(
+        rpoints, rays, planes.nd, refined.labels, strict=True
+    )
+    return TOFResult(
+        optimized_points=rpoints,
+        plane_fitted=plane_fitted,
+        refined_depth=refined.depth,
+        refined_labels=refined.labels,
+        merged_labels=merged.labels,
+        merged_eigenvalues=merged.eigenvalues,
+    )

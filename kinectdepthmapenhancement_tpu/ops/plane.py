@@ -1,0 +1,283 @@
+"""Plane fitting, projection and optimisation.
+
+TPU-native re-design of Projection_GPU / Projection_PCA / the host PCA stage:
+
+  * set_pseudo_depth_* — project each pixel onto its cluster's plane along
+    the precomputed unit ray (setPsuedoDepth overloads,
+    Projection_GPU.cu:20-115, Projection_PCA.cu:20-48);
+  * variance_optimization — blend toward the plane for big coherent clusters
+    (Projection_GPU.cu:174-196);
+  * mrf_optimization — 20 Jacobi sweeps of a 5x5 Perona-Malik-weighted
+    smoother gated on plane-agreement (Projection_GPU.cu:139-172), iterated
+    with lax.fori_loop;
+  * depth_bilateral — 7x7 depth-Gaussian cleanup (Projection_GPU.cu:198-227);
+  * eigenvalue_optimization — the PCA-variant blend (present but disabled in
+    the reference, Projection_PCA.cu:76-108 / call site commented out);
+  * pca_planes — batched per-cluster plane fit replacing the reference's
+    HOST cv::PCA stage (SPDepthSuperResolution.cpp:82-142): per-cluster
+    covariance via segment sums (centred for f32 stability) + closed-form
+    smallest eigenvector, entirely on device.
+
+Depths here are in millimetres (unlike normal estimation).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from kinectdepthmapenhancement_tpu.core.buffer2d import VALID_DEPTH_MM
+from kinectdepthmapenhancement_tpu.core.camera import Intrinsics, normalized_rays
+from kinectdepthmapenhancement_tpu.core.config import ProjectionParams
+from kinectdepthmapenhancement_tpu.ops import stencil
+from kinectdepthmapenhancement_tpu.ops.normals import smallest_eigenvector
+
+PI_8 = 3.141592653 / 8.0
+COS_PI_8 = float(jnp.cos(PI_8))
+
+
+def _project(nd: jnp.ndarray, rays: jnp.ndarray) -> jnp.ndarray:
+    """z = |d / (a*rx + b*ry + c)| along the unit-z ray; returns [H, W, 3]."""
+    a, b, c, d = nd[..., 0], nd[..., 1], nd[..., 2], nd[..., 3]
+    denom = a * rays[..., 0] + b * rays[..., 1] + c
+    z = jnp.abs(d / jnp.where(denom == 0.0, 1e-30, denom))
+    return rays * z[..., None]
+
+
+def set_pseudo_depth_map(
+    points: jnp.ndarray,
+    rays: jnp.ndarray,
+    nd_map: jnp.ndarray,
+    labels: jnp.ndarray,
+    variance: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-pixel nd map + variance gate (first overload, Projection_GPU.cu:20-48;
+    used by KDE with the CCL-merged outputs): plane-project where label > -1
+    and acos(variance[label]) < pi/8, else pass through the input points."""
+    lab0 = jnp.maximum(labels, 0)
+    var = jnp.take(variance, lab0)
+    # acos(v) < pi/8  <=>  v > cos(pi/8); v > 1 -> NaN -> false in reference
+    gate = (labels > -1) & (var > COS_PI_8) & (var <= 1.0)
+    proj = _project(nd_map, rays)
+    return jnp.where(gate[..., None], proj, points)
+
+
+def set_pseudo_depth_cluster(
+    points: jnp.ndarray,
+    rays: jnp.ndarray,
+    cluster_nd: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    strict: bool = False,
+) -> jnp.ndarray:
+    """Per-cluster nd table (second overload, Projection_GPU.cu:50-77; SPDSP):
+    project where label > -1 and |nd.x| < 1 (invalid sentinel 5.0).
+    strict=True uses <= 1.0 (the PCA variant, Projection_PCA.cu:20-48)."""
+    lab0 = jnp.maximum(labels, 0)
+    nd = jnp.take(cluster_nd, lab0, axis=0)
+    ok = jnp.abs(nd[..., 0]) <= 1.0 if strict else jnp.abs(nd[..., 0]) < 1.0
+    gate = (labels > -1) & ok
+    proj = _project(nd, rays)
+    return jnp.where(gate[..., None], proj, points)
+
+
+def set_pseudo_depth_normals(
+    points: jnp.ndarray,
+    rays: jnp.ndarray,
+    cluster_normals: jnp.ndarray,
+    cluster_centers: jnp.ndarray,
+    labels: jnp.ndarray,
+    variance: jnp.ndarray,
+) -> jnp.ndarray:
+    """Normals+centers overload (Projection_GPU.cu:79-115): d = |n.center|,
+    gate on acos(variance[label]) < pi/8."""
+    lab0 = jnp.maximum(labels, 0)
+    n = jnp.take(cluster_normals, lab0, axis=0)
+    c = jnp.take(cluster_centers, lab0, axis=0)
+    d = jnp.abs(jnp.sum(n * c, axis=-1))
+    nd = jnp.concatenate([n, d[..., None]], axis=-1)
+    var = jnp.take(variance, lab0)
+    gate = (labels > -1) & (var > COS_PI_8) & (var <= 1.0)
+    proj = _project(nd, rays)
+    return jnp.where(gate[..., None], proj, points)
+
+
+def variance_optimization(
+    optimized: jnp.ndarray,
+    plane_fitted: jnp.ndarray,
+    labels: jnp.ndarray,
+    variance: jnp.ndarray,
+    sizes: jnp.ndarray,
+    *,
+    min_cluster_size: int = 1300,
+    agree_tight: float = 0.01,
+    agree_loose: float = 0.03,
+) -> jnp.ndarray:
+    """variance_optimization (Projection_GPU.cu:174-196): where the plane fit
+    agrees with the current depth within 3%, a big (>1300 px) coherent
+    cluster snaps (within 1%) or blends (by variance) toward the plane.
+    Only z (and x, y via later ray multiplication) of gated pixels change."""
+    zo = optimized[..., 2]
+    zp = plane_fitted[..., 2]
+    diff = jnp.abs(zo - zp)
+    lab0 = jnp.maximum(labels, 0)
+    var = jnp.take(variance, lab0)
+    size = jnp.take(sizes, lab0)
+    gate = (
+        (zp > VALID_DEPTH_MM)
+        & (diff < zo * agree_loose)
+        & (labels > -1)
+        & (var > COS_PI_8)
+        & (var <= 1.0)
+        & (size > min_cluster_size)
+    )
+    snap = diff < zo * agree_tight
+    blended = zp * var + zo * (1.0 - var)
+    new_z = jnp.where(gate, jnp.where(snap, zp, blended), zo)
+    return optimized.at[..., 2].set(new_z)
+
+
+def mrf_optimization(
+    optimized: jnp.ndarray,
+    plane_fitted: jnp.ndarray,
+    rays: jnp.ndarray,
+    p: ProjectionParams = ProjectionParams(),
+) -> jnp.ndarray:
+    """mrf_optimization x iterations (Projection_GPU.cu:139-172, call sites
+    cu:296-301): Jacobi sweeps of z' = (z_plane + sum w z_n)/(1 + sum w),
+    w = smooth_sigma * K/(1 + dz^2), applied only where the plane fit is
+    valid and agrees with the current depth within 1%."""
+    h, w = optimized.shape[:2]
+    r = p.mrf_window // 2
+
+    def sweep(_, opt):
+        z = opt[..., 2]
+        zp = plane_fitted[..., 2]
+        gate = (zp > VALID_DEPTH_MM) & (jnp.abs(z - zp) < z * 0.01)
+        zpad = stencil.pad2d(z, r, 0.0)
+        num = zp
+        den = jnp.ones((h, w), jnp.float32)
+        for dy, dx in stencil.offsets(p.mrf_window):
+            nz = stencil.shift(zpad, dy, dx, r, (h, w))
+            ok = nz > VALID_DEPTH_MM
+            dfil = p.mrf_k / (1.0 + jnp.square(jnp.abs(z - nz)))
+            filt = jnp.where(ok, p.mrf_smooth_sigma * dfil, 0.0)
+            num = num + nz * filt
+            den = den + filt
+        upd = gate & (den != 0.0)
+        new_z = jnp.where(upd, num / den, z)
+        return jnp.where(upd[..., None], rays * new_z[..., None], opt)
+
+    return lax.fori_loop(0, p.mrf_iterations, sweep, optimized)
+
+
+def eigenvalue_optimization(
+    optimized: jnp.ndarray,
+    plane_fitted: jnp.ndarray,
+    rays: jnp.ndarray,
+    eigen_map: jnp.ndarray,
+    labels: jnp.ndarray,
+    eigenvalue_sigma: float,
+) -> jnp.ndarray:
+    """eigenvalues_optimizationPCA (Projection_PCA.cu:76-108).  Present for
+    completeness; the reference's call site is commented out (cu:118-125)."""
+    zo = optimized[..., 2]
+    zp = plane_fitted[..., 2]
+    gate = (zp > VALID_DEPTH_MM) & (jnp.abs(zo - zp) < zo * 0.01) & (labels > -1)
+    wgt = jnp.exp(-eigenvalue_sigma / (2.0 * jnp.square(jnp.maximum(eigen_map, 1e-30))))
+    new_z = wgt * zo + (1.0 - wgt) * zp
+    return jnp.where(gate[..., None], rays * new_z[..., None], optimized)
+
+
+def depth_bilateral(
+    optimized: jnp.ndarray,
+    rays: jnp.ndarray,
+    p: ProjectionParams = ProjectionParams(),
+) -> jnp.ndarray:
+    """bilateralfilter (Projection_GPU.cu:198-227): 7x7 spatial x depth
+    Gaussian on z; x, y recomputed from the rays; 0 where no valid support."""
+    h, w = optimized.shape[:2]
+    r = p.window // 2
+    spatial = stencil.gaussian_spatial_filter(p.window, p.spatial_sigma)
+    z = optimized[..., 2]
+    zpad = stencil.pad2d(z, r, 0.0)
+    num = jnp.zeros((h, w), jnp.float32)
+    den = jnp.zeros((h, w), jnp.float32)
+    for dy, dx in stencil.offsets(p.window):
+        nz = stencil.shift(zpad, dy, dx, r, (h, w))
+        ok = nz > VALID_DEPTH_MM
+        filt = jnp.exp(-jnp.square(nz - z) / (2.0 * p.depth_sigma**2))
+        filt = filt * spatial[dy + r, dx + r]
+        filt = jnp.where(ok, filt, 0.0)
+        num = num + nz * filt
+        den = den + filt
+    new_z = jnp.where(den == 0.0, 0.0, num / jnp.where(den == 0.0, 1.0, den))
+    return rays * new_z[..., None]
+
+
+# --------------------------------------------------------------- PCA planes
+
+
+class PCAPlanes(NamedTuple):
+    nd: jnp.ndarray           # [K, 4] plane (n, d); invalid sentinel 5.0
+    centers: jnp.ndarray      # [K, 3] cluster centroids
+    eigenvalues: jnp.ndarray  # [K] smallest eigenvalue
+    count: jnp.ndarray        # [K] i32 point count
+
+
+def pca_planes(points: jnp.ndarray, labels: jnp.ndarray, k: int) -> PCAPlanes:
+    """Per-cluster plane fit on device (replaces the host loop + cv::PCA of
+    SPDepthSuperResolution.cpp:66-142 / TOFDepthInterpolation.cpp:69-146).
+
+    All pixels with label != -1 contribute (matching the reference, which
+    pushes every labelled point, valid or not).  Clusters with < 3 points get
+    the invalid sentinel (5, 5, 5) and d = 0.  The normal is the smallest-
+    eigenvalue eigenvector, sign-flipped so that d = n . centroid >= 0.
+
+    Covariance is computed from centred second moments: two segment-sum
+    passes (sums, then squared residuals about the cluster mean) keep f32
+    precision where the reference needed f64.
+    """
+    hw = points.shape[0] * points.shape[1]
+    flat_pts = points.reshape(-1, 3)
+    flat_lab = jnp.where(labels.reshape(-1) >= 0, labels.reshape(-1), k)
+
+    ones = jnp.ones((hw, 1), jnp.float32)
+    sums = jax.ops.segment_sum(
+        jnp.concatenate([flat_pts, ones], axis=-1), flat_lab, num_segments=k + 1
+    )[:k]
+    count = sums[:, 3]
+    mean = sums[:, 0:3] / jnp.maximum(count, 1.0)[:, None]
+
+    centered = flat_pts - jnp.take(mean, jnp.minimum(flat_lab, k - 1), axis=0)
+    centered = jnp.where((flat_lab < k)[:, None], centered, 0.0)
+    cx, cy, cz = centered[:, 0], centered[:, 1], centered[:, 2]
+    sq = jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], axis=-1)
+    m = jax.ops.segment_sum(sq, flat_lab, num_segments=k + 1)[:k]
+    n_safe = jnp.maximum(count, 1.0)
+    # cv::PCA uses the scatter matrix scaled by 1/N (CV_COVAR_SCALE with rows)
+    cov = jnp.stack(
+        [
+            jnp.stack([m[:, 0], m[:, 1], m[:, 2]], -1),
+            jnp.stack([m[:, 1], m[:, 3], m[:, 4]], -1),
+            jnp.stack([m[:, 2], m[:, 4], m[:, 5]], -1),
+        ],
+        axis=-2,
+    ) / n_safe[:, None, None]
+
+    eigval, vec = smallest_eigenvector(cov)
+    d_signed = jnp.sum(vec * mean, axis=-1)
+    vec = jnp.where((d_signed < 0)[:, None], -vec, vec)
+    d = jnp.abs(d_signed)
+
+    valid = count >= 3
+    nd = jnp.concatenate([vec, d[:, None]], axis=-1)
+    nd = jnp.where(valid[:, None], nd, jnp.array([5.0, 5.0, 5.0, 0.0]))
+    centers = jnp.where(valid[:, None], mean, 0.0)
+    eigenvalues = jnp.where(valid, eigval, 0.0)
+    return PCAPlanes(
+        nd=nd, centers=centers, eigenvalues=eigenvalues, count=count.astype(jnp.int32)
+    )

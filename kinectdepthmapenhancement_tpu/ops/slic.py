@@ -341,8 +341,8 @@ def _update_sp(
     k = grid.num_clusters
     lo, hi = window_range
     mask = _window_mask(labels, clusters, lo, hi)
-    v = jnp.arange(h, dtype=jnp.float32)[:, None]
-    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
     feats = jnp.concatenate(
         [
@@ -377,8 +377,8 @@ def _update_dasp(
     k = grid.num_clusters
     lo, hi = window_range
     mask = _window_mask(labels, clusters, lo, hi)
-    v = jnp.arange(h, dtype=jnp.float32)[:, None]
-    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
     validz = (points[..., 2] > VALID_DEPTH_MM).astype(jnp.float32)
     feats = jnp.concatenate(
@@ -421,8 +421,8 @@ def _update_nasp_analyze(
     k = grid.num_clusters
     lo, hi = window_range
     mask = _window_mask(labels, clusters, lo, hi)
-    v = jnp.arange(h, dtype=jnp.float32)[:, None]
-    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
     accept = (points[..., 2] > VALID_DEPTH_MM) & _normal_valid_or(normals)
     acc = accept.astype(jnp.float32)[..., None]
@@ -480,8 +480,8 @@ def _update_nasp_weighted(
     k = grid.num_clusters
     lo, hi = window_range
     mask = _window_mask(labels, clusters, lo, hi)
-    v = jnp.arange(h, dtype=jnp.float32)[:, None]
-    u = jnp.arange(w, dtype=jnp.float32)[None, :]
+    v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     lab0 = jnp.maximum(labels, 0)
     c_rgb = jnp.take(clusters.rgb, lab0, axis=0)
     c_xy = jnp.take(clusters.xy, lab0, axis=0).astype(jnp.float32)
@@ -562,12 +562,17 @@ def segment(
     grid: GridParams = GridParams(),
     params: SLICParams,
     variant: str = "dasp",
+    seeds: Optional[jnp.ndarray] = None,
 ) -> SLICResult:
     """Run a full segmentation: seed + `params.iterations` x (assign, update).
 
     variant: "sp" (colour SLIC, SuperpixelSegmentation::Process),
              "dasp" (DepthAdaptiveSuperpixel::Segmentation),
              "nasp" (NormalAdaptiveSuperpixel::Segmentation).
+    seeds: optional [K, 2] (x, y) override of the sampled seeds — the
+    gradient argmin has frequent near-ties whose winner depends on float
+    precision, so tests inject oracle seeds to compare everything downstream
+    deterministically.
     """
     assert variant in ("sp", "dasp", "nasp")
     h, w = color.shape[:2]
@@ -578,18 +583,22 @@ def segment(
     if variant == "sp":
         seed_window, neighborhood = 16, 4
         rp = ws_x * 4 // 16 + 1
-        gradient = _color_gradient(color_f)
     elif variant == "dasp":
         seed_window, neighborhood = 4, 4
         rp = ws_x * 2 // 16 + 1
-        gradient = _color_gradient(color_f)
     else:
         seed_window, neighborhood = 8, 8
         rp = ws_x * 2 // 16 + 1
-        gradient = _nasp_gradient(color_f, normals)
     window_range = (-8 * rp, 8 * rp - 1)
 
-    seeds = sample_seeds(gradient, grid, h, w, seed_window)
+    if seeds is None:
+        if variant == "nasp":
+            gradient = _nasp_gradient(color_f, normals)
+        else:
+            gradient = _color_gradient(color_f)
+        seeds = sample_seeds(gradient, grid, h, w, seed_window)
+    else:
+        seeds = jnp.asarray(seeds, jnp.int32)
     clusters = init_clusters(
         seeds, color, points if variant != "sp" else None, normals
     )

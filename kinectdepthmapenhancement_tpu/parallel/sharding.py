@@ -1,0 +1,73 @@
+"""Sharded execution of the pipelines over a ('data', 'x') mesh.
+
+Strategy (SURVEY.md §5/§7): frames are data-parallel over 'data'; the image
+plane is tiled over 'x' (width axis).  The pipelines are pure jnp programs
+with static shapes, so XLA GSPMD partitions them from input shardings alone —
+stencil pads become halo exchanges, segment-sums over the 300-cluster tables
+become partial sums + AllReduce over ICI, and the tiny cluster-table
+fixpoints replicate.  A hand-written shard_map halo-exchange path for the
+stencil ops lives in parallel/halo.py and is used by the Pallas fast path.
+
+`dryrun(n)` is the driver hook: builds an n-device mesh, jits the FULL
+batched KDE step with real input shardings and runs one step on tiny shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kinectdepthmapenhancement_tpu.core.camera import Intrinsics, default_kinect_intrinsics
+from kinectdepthmapenhancement_tpu.core.config import GridParams, KDEConfig
+from kinectdepthmapenhancement_tpu.models.pipelines import kde_pipeline
+from kinectdepthmapenhancement_tpu.parallel.mesh import make_mesh
+
+
+def sharded_kde_step(mesh: Mesh, intr: Intrinsics, cfg: KDEConfig):
+    """Returns a jitted batched KDE step [B,H,W]x[B,H,W,3] -> [B,H,W,3] with
+    batch sharded over 'data' and image width over 'x'."""
+    depth_sharding = NamedSharding(mesh, P("data", None, "x"))
+    color_sharding = NamedSharding(mesh, P("data", None, "x", None))
+    out_sharding = NamedSharding(mesh, P("data", None, "x", None))
+
+    def step(depth_b, color_b):
+        return jax.vmap(
+            lambda d, c: kde_pipeline(d, c, intr, cfg).optimized_points
+        )(depth_b, color_b)
+
+    return jax.jit(
+        step,
+        in_shardings=(depth_sharding, color_sharding),
+        out_shardings=out_sharding,
+    )
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute one sharded KDE step on tiny shapes (driver hook)."""
+    spatial = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(n_devices, spatial=spatial)
+    batch = mesh.shape["data"]
+
+    h, w = 96, 128  # tiny but > 2*border so normals have a valid interior
+    intr = default_kinect_intrinsics(w, h)
+    cfg = dataclasses.replace(KDEConfig(), grid=GridParams(rows=3, cols=4))
+
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray(
+        rng.uniform(500.0, 4000.0, size=(batch, h, w)).astype(np.float32)
+    )
+    color = jnp.asarray(rng.integers(0, 255, size=(batch, h, w, 3), dtype=np.uint8))
+
+    step = sharded_kde_step(mesh, intr, cfg)
+    out = step(depth, color)
+    jax.block_until_ready(out)
+    assert out.shape == (batch, h, w, 3)
+    print(
+        f"dryrun_multichip ok: mesh={dict(mesh.shape)} out={out.shape} "
+        f"sharding={out.sharding}"
+    )
