@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -184,7 +186,7 @@ def merge_normals(
     d = jnp.abs(jnp.sum(cluster_normals * cluster_centers, axis=-1))
     nd = jnp.concatenate([cluster_normals, d[:, None]], axis=-1)
     nd = jnp.where(valid[:, None], nd, INVALID_ND)
-    cos_max = float(jnp.cos(p.normal_angle_max))
+    cos_max = math.cos(p.normal_angle_max)
 
     def predicate(dot, dd):
         # acos(dot) > 0  <=>  dot < 1;  acos(dot) < max  <=>  dot > cos(max);
@@ -207,7 +209,7 @@ def merge_pca(
     |acos(n1.n2)| < pi/8 (equal normals DO merge) and |d1-d2| < 700.
     """
     valid = jnp.abs(cluster_nd[:, 0]) < 1.1
-    cos_max = float(jnp.cos(p.normal_angle_max))
+    cos_max = math.cos(p.normal_angle_max)
 
     def predicate(dot, dd):
         return (dot <= 1.0) & (dot > cos_max) & (dd < p.plane_offset_max)

@@ -36,7 +36,8 @@ from kinectdepthmapenhancement_tpu.ops import stencil
 from kinectdepthmapenhancement_tpu.ops.normals import smallest_eigenvector
 
 PI_8 = 3.141592653 / 8.0
-COS_PI_8 = float(jnp.cos(PI_8))
+import math
+COS_PI_8 = math.cos(PI_8)
 
 
 def _project(nd: jnp.ndarray, rays: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,106 @@
+import numpy as np
+import jax.numpy as jnp
+
+from kinectdepthmapenhancement_tpu.ops import ccl
+
+import oracle_ccl
+
+
+def _toy_setup(seed=0, h=24, w=32, k=12):
+    """Random blocky label map + cluster planes with controlled coherence."""
+    rng = np.random.default_rng(seed)
+    labels = np.repeat(
+        np.repeat(rng.integers(0, k, size=(4, 4)), h // 4, axis=0), w // 4, axis=1
+    ).astype(np.int64)
+    labels[0, :3] = -1  # some invalid pixels
+    normals = rng.normal(size=(k, 3))
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    # force a few near-identical normals so merges happen
+    normals[1] = normals[0] + rng.normal(scale=1e-3, size=3)
+    normals[1] /= np.linalg.norm(normals[1])
+    normals[2] = normals[0] + rng.normal(scale=1e-3, size=3)
+    normals[2] /= np.linalg.norm(normals[2])
+    normals[5] = -1.0  # invalid cluster
+    centers = rng.uniform(500, 3000, size=(k, 3))
+    centers[1] = centers[0] + rng.normal(scale=10.0, size=3)
+    centers[2] = centers[0] + rng.normal(scale=10.0, size=3)
+    return labels, normals.astype(np.float32), centers.astype(np.float32)
+
+
+def test_merge_normals_matches_oracle():
+    labels, normals, centers = _toy_setup()
+    got = ccl.merge_normals(jnp.asarray(labels, jnp.int32), jnp.asarray(normals), jnp.asarray(centers))
+    want = oracle_ccl.merge_normals(labels, normals.astype(np.float64), centers.astype(np.float64))
+    np.testing.assert_array_equal(np.asarray(got.labels), want["labels"])
+    np.testing.assert_allclose(np.asarray(got.sizes), want["sizes"])
+    np.testing.assert_allclose(np.asarray(got.nd_map), want["nd_map"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.variance), want["variance"], rtol=1e-4, atol=1e-4)
+
+
+def test_merge_normals_equal_normals_do_not_merge():
+    """compNormal requires acos(dot) > 0: bitwise-equal normals never merge."""
+    h, w, k = 8, 8, 2
+    labels = np.zeros((h, w), np.int64)
+    labels[:, 4:] = 1
+    n = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], np.float32)
+    c = np.array([[0.0, 0.0, 1000.0], [0.0, 0.0, 1000.0]], np.float32)
+    got = ccl.merge_normals(jnp.asarray(labels, jnp.int32), jnp.asarray(n), jnp.asarray(c))
+    lab = np.asarray(got.labels)
+    assert lab[0, 0] == 0 and lab[0, 7] == 1  # distinct components
+
+
+def test_merge_pca_equal_normals_do_merge():
+    """The PCA predicate has no acos > 0 term: equal planes merge."""
+    h, w, k = 8, 8, 2
+    labels = np.zeros((h, w), np.int64)
+    labels[:, 4:] = 1
+    nd = np.array([[0.0, 0.0, 1.0, 1000.0], [0.0, 0.0, 1.0, 1000.0]], np.float32)
+    c = np.array([[0.0, 0.0, 1000.0], [0.0, 0.0, 1000.0]], np.float32)
+    eig = np.zeros(2, np.float32)
+    got = ccl.merge_pca(
+        jnp.asarray(labels, jnp.int32), jnp.asarray(nd), jnp.asarray(c), jnp.asarray(eig)
+    )
+    lab = np.asarray(got.labels)
+    assert lab[0, 0] == 0 and lab[0, 7] == 0  # merged into min id
+
+
+def test_merge_pca_matches_oracle():
+    rng = np.random.default_rng(3)
+    labels, normals, centers = _toy_setup(seed=3)
+    k = normals.shape[0]
+    d = np.abs(np.sum(normals * centers, axis=-1))
+    nd = np.concatenate([normals, d[:, None]], axis=-1).astype(np.float32)
+    nd[5] = 5.0  # invalid sentinel
+    eig = rng.uniform(0, 50, size=k).astype(np.float32)
+    got = ccl.merge_pca(
+        jnp.asarray(labels, jnp.int32),
+        jnp.asarray(nd),
+        jnp.asarray(centers),
+        jnp.asarray(eig),
+    )
+    want = oracle_ccl.merge_pca(
+        labels, nd.astype(np.float64), centers.astype(np.float64), eig.astype(np.float64)
+    )
+    np.testing.assert_array_equal(np.asarray(got.labels), want["labels"])
+    np.testing.assert_allclose(np.asarray(got.eigenvalues), want["eigenvalues"], rtol=1e-4)
+
+
+def test_transitive_merge_chain():
+    """A chain a-b-c where a~b and b~c (but a!~c) must become one component."""
+    h, w = 6, 12
+    labels = np.zeros((h, w), np.int64)
+    labels[:, 4:8] = 1
+    labels[:, 8:] = 2
+    th = np.pi / 10  # each step under pi/8, total over pi/8
+    n = np.array(
+        [
+            [0.0, 0.0, 1.0],
+            [np.sin(th), 0.0, np.cos(th)],
+            [np.sin(2 * th), 0.0, np.cos(2 * th)],
+        ],
+        np.float32,
+    )
+    c = np.tile(np.array([0.0, 0.0, 1000.0], np.float32), (3, 1))
+    got = ccl.merge_normals(jnp.asarray(labels, jnp.int32), jnp.asarray(n), jnp.asarray(c))
+    lab = np.asarray(got.labels)
+    assert lab[0, 0] == lab[0, 6] == lab[0, 11] == 0
