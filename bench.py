@@ -15,21 +15,30 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    import numpy as np
+
     from kinectdepthmapenhancement_tpu.core.camera import default_kinect_intrinsics
     from kinectdepthmapenhancement_tpu.core.config import KDEConfig
     from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
     from kinectdepthmapenhancement_tpu.models.pipelines import kde_pipeline
-    from kinectdepthmapenhancement_tpu.utils.metrics import time_fn
+    from kinectdepthmapenhancement_tpu.utils.timing import time_pipeline
 
     h, w = 480, 640
     intr = default_kinect_intrinsics(w, h)
     color, depth, _ = make_noisy_scene(h, w, intr, seed=0)
     cfg = KDEConfig()
 
-    step = jax.jit(lambda d, c: kde_pipeline(d, c, intr, cfg).optimized_points)
-    d = jnp.asarray(depth)
     c = jnp.asarray(color)
-    stats = time_fn(step, d, c, warmup=2, iters=10)
+
+    def make_args(i):
+        # unique contents per timed call: defeats the runtime's result cache
+        return (jnp.asarray(depth + np.float32(i + 1) * 0.25), c)
+
+    stats = time_pipeline(
+        lambda d, c_: kde_pipeline(d, c_, intr, cfg).optimized_points,
+        make_args,
+        iters=5,
+    )
     fps = stats["fps"]
     print(
         json.dumps(

@@ -47,17 +47,24 @@ def make_scene(
     depth = np.where(floor_mask, floor, depth)
     color[floor_mask] = (90.0, 110.0, 140.0)
 
-    # box 1: frontal plane patch
+    # box 1: frontal plane patch (feature positions scale with resolution)
     u = np.arange(width)[None, :]
     v = np.arange(height)[:, None]
-    b1 = (u > 120) & (u < 280) & (v > 140) & (v < 330)
+    b1 = (
+        (u > 0.19 * width) & (u < 0.44 * width)
+        & (v > 0.29 * height) & (v < 0.69 * height)
+    )
     b1 = b1 & (1800.0 < depth)
     depth = np.where(b1, 1800.0, depth)
     color[b1] = (200.0, 80.0, 70.0)
 
     # box 2: slanted plane patch
     slant = _plane_depth(intr, height, width, np.array([0.35, 0.0, 0.937]), 2100.0)
-    b2 = (u > 360) & (u < 560) & (v > 90) & (v < 300) & (slant > 0) & (slant < depth)
+    b2 = (
+        (u > 0.56 * width) & (u < 0.88 * width)
+        & (v > 0.19 * height) & (v < 0.63 * height)
+        & (slant > 0) & (slant < depth)
+    )
     depth = np.where(b2, slant, depth)
     color[b2] = (70.0, 170.0, 90.0)
 

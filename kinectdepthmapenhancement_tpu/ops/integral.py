@@ -83,6 +83,71 @@ def box_count(ci: CenteredIntegral, u, v, uu, vv) -> jnp.ndarray:
     return _corners(ci.valid, u, v, uu, vv)
 
 
+class PaddedIntegral(NamedTuple):
+    """Zero-padded prefix tables for gather-free fixed-offset box sums.
+
+    Per-pixel window SIZES serialize into gathers on TPU; instead callers
+    loop over the (few, discrete) sizes and read boxes at FIXED offsets via
+    slices of these padded tables, selecting per pixel afterwards."""
+
+    centered: jnp.ndarray  # [H+1+2P, W+1+2P, C]
+    count: jnp.ndarray     # [H+1+2P, W+1+2P]
+    valid: jnp.ndarray
+    mu: jnp.ndarray
+    pad: int
+    shape: tuple  # (H, W)
+
+
+def pad_tables(ci: CenteredIntegral, pad: int, h: int, w: int) -> PaddedIntegral:
+    def p2(x):
+        pads = [(pad, pad), (pad, pad)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, pads)
+
+    return PaddedIntegral(
+        centered=p2(ci.centered), count=p2(ci.count), valid=p2(ci.valid),
+        mu=ci.mu, pad=pad, shape=(h, w),
+    )
+
+
+def _corner_slice(tbl: jnp.ndarray, pi: PaddedIntegral, dv: int, du: int):
+    """tbl view so out[y, x] = tbl_unpadded[y + dv, x + du] (zero out of range)."""
+    h, w = pi.shape
+    start = [pi.pad + dv, pi.pad + du] + [0] * (tbl.ndim - 2)
+    sizes = [h, w] + list(tbl.shape[2:])
+    from jax import lax
+
+    return lax.slice(tbl, start, [s + z for s, z in zip(start, sizes)])
+
+
+def _fixed_corners(tbl, pi: PaddedIntegral, u_off: int, v_off: int, uu: int, vv: int):
+    """Box sum over rows (y+v_off, y+v_off+vv] x cols (x+u_off, x+u_off+uu]
+    for every pixel, with STATIC offsets (inclusive-integral convention:
+    table index +1, see _corners)."""
+    v0, u0 = v_off + 1, u_off + 1
+    return (
+        _corner_slice(tbl, pi, v0 + vv, u0 + uu)
+        + _corner_slice(tbl, pi, v0, u0)
+        - _corner_slice(tbl, pi, v0 + vv, u0)
+        - _corner_slice(tbl, pi, v0, u0 + uu)
+    )
+
+
+def fixed_box_count(pi: PaddedIntegral, u_off: int, v_off: int, uu: int, vv: int):
+    return _fixed_corners(pi.valid, pi, u_off, v_off, uu, vv)
+
+
+def fixed_box_sum_all(pi: PaddedIntegral, u_off: int, v_off: int, uu: int, vv: int):
+    c = _fixed_corners(pi.centered, pi, u_off, v_off, uu, vv)
+    n = _fixed_corners(pi.count, pi, u_off, v_off, uu, vv)
+    return c + pi.mu * n[..., None]
+
+
+def fixed_box_sum(pi: PaddedIntegral, channel: int, u_off: int, v_off: int, uu: int, vv: int):
+    c = _fixed_corners(pi.centered[..., channel], pi, u_off, v_off, uu, vv)
+    n = _fixed_corners(pi.count, pi, u_off, v_off, uu, vv)
+    return c + pi.mu[channel] * n
+
+
 def box_sum(ci: CenteredIntegral, channel: int, u, v, uu, vv) -> jnp.ndarray:
     """Sum of `channel` over the box, de-centred."""
     c = _corners(ci.centered[..., channel], u, v, uu, vv)

@@ -70,7 +70,11 @@ def dci_map(vertices_m: jnp.ndarray, max_depth_change: float) -> jnp.ndarray:
 
 def distance_transform(dci: jnp.ndarray, iterations: int) -> jnp.ndarray:
     """Chamfer (3x3, weights 1/1.4) distance to the nearest dci==0 pixel,
-    via iterated min-plus relaxation (replaces the host two-pass chamfer)."""
+    via iterated min-plus relaxation to the fixpoint (replaces the reference's
+    HOST two-pass chamfer; its single sweep under-relaxes the first row/col
+    band, which lies inside the invalid normal border — documented spec:
+    exact chamfer DT everywhere, capped by the iteration horizon, which
+    exceeds every reachable smoothing radius)."""
     h, w = dci.shape
     init = jnp.where(dci == 0, 0.0, float(w + h)).astype(jnp.float32)
 
@@ -88,11 +92,7 @@ def distance_transform(dci: jnp.ndarray, iterations: int) -> jnp.ndarray:
             best = jnp.minimum(best, nb + cost)
         return best
 
-    dt = lax.fori_loop(0, iterations, relax, init)
-    # pixels never touched by the reference's two passes keep their init value
-    dt = dt.at[0, w - 1].set(init[0, w - 1])
-    dt = dt.at[h - 1, 0].set(init[h - 1, 0])
-    return dt
+    return lax.fori_loop(0, iterations, relax, init)
 
 
 def smoothing_map(vertices_m: jnp.ndarray, p: NormalParams) -> jnp.ndarray:
@@ -284,38 +284,74 @@ def _box_channels(vertices_m: jnp.ndarray, method: str) -> integral.CenteredInte
     return integral.build(chans, valid)
 
 
+MAX_RECT = 21  # ddsa = 20 + z/10 with z <= ~15 m caps the window at 21 px
+
+
+def _per_size(rect: jnp.ndarray, sizes, compute):
+    """Evaluate `compute(s)` (a pytree of [H, W, ...] arrays) for each static
+    window size s and select per pixel where rect == s (>= for the largest —
+    a documented clamp for depths beyond the Kinect range).  Gather-free: the
+    per-pixel dynamic window of the reference becomes a handful of
+    fixed-offset slice expressions on TPU."""
+    out = None
+    for s in sizes:
+        val = compute(s)
+        sel = (rect >= s) if s == sizes[-1] else (rect == s)
+        if out is None:
+            out = jax.tree_util.tree_map(jnp.zeros_like, val)
+        out = jax.tree_util.tree_map(
+            lambda o, v: jnp.where(
+                sel[(...,) + (None,) * (v.ndim - sel.ndim)], v, o
+            ),
+            out, val,
+        )
+    return out
+
+
+def _edge_shift(padded, dy, dx, r, h, w):
+    start = [r + dy, r + dx] + [0] * (padded.ndim - 2)
+    sizes = [h, w] + list(padded.shape[2:])
+    return lax.slice(padded, start, [s + z for s, z in zip(start, sizes)])
+
+
 def sdc_normals(
     vertices_m: jnp.ndarray, smoothing: jnp.ndarray, border: int
 ) -> jnp.ndarray:
     """computeNormalSDC_GPU (NormalMapGenerator.cu:29-120), stale-flip FIXED."""
     h, w = smoothing.shape
     ci = _box_channels(vertices_m, "sdc")
+    pi = integral.pad_tables(ci, MAX_RECT + 3, h, w)
     v = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
     in_border = (u < border) | (u > w - border) | (v < border) | (v > h - border)
 
     rect = smoothing.astype(jnp.int32)
-    r2 = rect // 2
-    r4 = rect // 4
+    vpad = jnp.pad(vertices_m, [(8, 8), (8, 8), (0, 0)], mode="edge")
 
-    cont = integral.box_count(ci, u - r2 - 1, v - r2 - 1, rect, rect)
-    cL = integral.box_count(ci, u - r2 - 1, v - r4 - 1, r2, r2)
-    cR = integral.box_count(ci, u, v - r4 - 1, r2, r2)
-    cU = integral.box_count(ci, u - r4 - 1, v - r2 - 1, r2, r2)
-    cD = integral.box_count(ci, u - r4 - 1, v, r2, r2)
+    def boxes(s):
+        r2, r4 = s >> 1, s >> 2
+        cont = integral.fixed_box_count(pi, -r2 - 1, -r2 - 1, s, s)
+        cL = integral.fixed_box_count(pi, -r2 - 1, -r4 - 1, r2, r2)
+        cR = integral.fixed_box_count(pi, 0, -r4 - 1, r2, r2)
+        cU = integral.fixed_box_count(pi, -r4 - 1, -r2 - 1, r2, r2)
+        cD = integral.fixed_box_count(pi, -r4 - 1, 0, r2, r2)
+        sL = integral.fixed_box_sum(pi, 0, -r2 - 1, -r4 - 1, r2, r2)
+        sR = integral.fixed_box_sum(pi, 0, 0, -r4 - 1, r2, r2)
+        sU = integral.fixed_box_sum(pi, 0, -r4 - 1, -r2 - 1, r2, r2)
+        sD = integral.fixed_box_sum(pi, 0, -r4 - 1, 0, r2, r2)
+        pL = _edge_shift(vpad, 0, -r4 - 1, 8, h, w)
+        pR = _edge_shift(vpad, 0, r4 + 1, 8, h, w)
+        pU = _edge_shift(vpad, -r4, -1, 8, h, w)  # reference: -r4*width - 1
+        pD = _edge_shift(vpad, r4, 1, 8, h, w)
+        return (cont, cL, cR, cU, cD, sL, sR, sU, sD, pL, pR, pU, pD)
 
-    def mean_z(uu, vv):
-        return integral.box_sum(ci, 0, uu, vv, r2, r2)
-
-    mL = mean_z(u - r2 - 1, v - r4 - 1) / jnp.maximum(cL, 1.0)
-    mR = mean_z(u, v - r4 - 1) / jnp.maximum(cR, 1.0)
-    mU = mean_z(u - r4 - 1, v - r2 - 1) / jnp.maximum(cU, 1.0)
-    mD = mean_z(u - r4 - 1, v) / jnp.maximum(cD, 1.0)
-
-    pL = _clamped(vertices_m, v, u - r4 - 1)
-    pR = _clamped(vertices_m, v, u + r4 + 1)
-    pU = _clamped(vertices_m, v - r4, u - 1)  # reference offset: -r4*width - 1
-    pD = _clamped(vertices_m, v + r4, u + 1)
+    (cont, cL, cR, cU, cD, sL, sR, sU, sD, pL, pR, pU, pD) = _per_size(
+        rect, list(range(2, MAX_RECT + 1)), boxes
+    )
+    mL = sL / jnp.maximum(cL, 1.0)
+    mR = sR / jnp.maximum(cR, 1.0)
+    mU = sU / jnp.maximum(cU, 1.0)
+    mD = sD / jnp.maximum(cD, 1.0)
 
     mean_x_z = mR - mL
     mean_y_z = mD - mU
@@ -353,23 +389,98 @@ def cm_normals(
     """computeNormalCM_GPU (NormalMapGenerator.cu:244-302)."""
     h, w = smoothing.shape
     ci = _box_channels(vertices_m, "cm")
+    pi = integral.pad_tables(ci, MAX_RECT + 3, h, w)
     v = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
     in_border = (u <= border) | (u >= w - border) | (v <= border) | (v >= h - border)
 
     rect = smoothing.astype(jnp.int32)
-    r2 = rect // 2
-    cont = integral.box_count(ci, u - r2 - 1, v - r2 - 1, rect, rect)
-    sums = integral.box_sum_all(ci, u - r2 - 1, v - r2 - 1, rect, rect)
-    sx, sy, sz = sums[..., 0], sums[..., 1], sums[..., 2]
-    sxx, sxy, sxz = sums[..., 3], sums[..., 4], sums[..., 5]
-    syy, syz, szz = sums[..., 6], sums[..., 7], sums[..., 8]
-    n_safe = jnp.maximum(cont, 1.0)
+
+    # Mathematically the reference computes cov = Sab - Sa*Sb/n over the
+    # VALID pixels of the box, in f64.  f32 summed-area tables lose ~1e-5
+    # absolute on the box sums, which swamps the ~1e-4 covariances of SMALL
+    # windows (the means are metres, the extents centimetres).  Strategy:
+    #   * s <= DIRECT_MAX: accumulate the box DIRECTLY from per-query-pixel
+    #     centred residuals (s^2 shifted slices; every term is O(extent^2),
+    #     so f32 matches the f64 oracle to ~1e-7),
+    #   * s > DIRECT_MAX: integral tables re-referenced to the query vertex
+    #     (the covariance grows ~s^4 while the table error stays flat, so
+    #     the relative error is harmless there).
+    DIRECT_MAX = 8
+    a3 = vertices_m  # per-query reference point (the pixel's own vertex)
+    valid_f = (vertices_m[..., 2] != 0.0).astype(jnp.float32)
+    vpad2 = jnp.pad(
+        vertices_m, [(MAX_RECT, MAX_RECT), (MAX_RECT, MAX_RECT), (0, 0)]
+    )
+    mpad = jnp.pad(valid_f, MAX_RECT)
+
+    def direct_cov(s):
+        r2 = s >> 1
+        cnt = jnp.zeros((h, w), jnp.float32)
+        s1 = jnp.zeros((h, w, 3), jnp.float32)
+        s2 = jnp.zeros((h, w, 6), jnp.float32)
+        for dy in range(-r2, -r2 + s):
+            for dx in range(-r2, -r2 + s):
+                pv = _edge_shift(vpad2, dy, dx, MAX_RECT, h, w)
+                m = _edge_shift(mpad, dy, dx, MAX_RECT, h, w)
+                res = (pv - a3) * m[..., None]
+                rx, ry, rz = res[..., 0], res[..., 1], res[..., 2]
+                cnt = cnt + m
+                s1 = s1 + res
+                s2 = s2 + jnp.stack(
+                    [rx * rx, rx * ry, rx * rz, ry * ry, ry * rz, rz * rz], -1
+                )
+        n_s = jnp.maximum(cnt, 1.0)
+        outer = jnp.stack(
+            [
+                s1[..., 0] * s1[..., 0], s1[..., 0] * s1[..., 1],
+                s1[..., 0] * s1[..., 2], s1[..., 1] * s1[..., 1],
+                s1[..., 1] * s1[..., 2], s1[..., 2] * s1[..., 2],
+            ],
+            -1,
+        )
+        return cnt, s2 - outer / n_s[..., None]
+
+    def integral_cov(s):
+        r2 = s >> 1
+        cont = integral.fixed_box_count(pi, -r2 - 1, -r2 - 1, s, s)
+        sums = integral.fixed_box_sum_all(pi, -r2 - 1, -r2 - 1, s, s)
+        sx, sy, sz = sums[..., 0], sums[..., 1], sums[..., 2]
+        sxx, sxy, sxz = sums[..., 3], sums[..., 4], sums[..., 5]
+        syy, syz, szz = sums[..., 6], sums[..., 7], sums[..., 8]
+        n_s = jnp.maximum(cont, 1.0)
+        ax, ay, az = a3[..., 0], a3[..., 1], a3[..., 2]
+        dx = sx - cont * ax
+        dy_ = sy - cont * ay
+        dz = sz - cont * az
+
+        def entry(sab, aa, bb, sa, sb, da, db):
+            return (sab - aa * sb - bb * sa + cont * aa * bb) - da * db / n_s
+
+        ents = jnp.stack(
+            [
+                entry(sxx, ax, ax, sx, sx, dx, dx),
+                entry(sxy, ax, ay, sx, sy, dx, dy_),
+                entry(sxz, ax, az, sx, sz, dx, dz),
+                entry(syy, ay, ay, sy, sy, dy_, dy_),
+                entry(syz, ay, az, sy, sz, dy_, dz),
+                entry(szz, az, az, sz, sz, dz, dz),
+            ],
+            -1,
+        )
+        return cont, ents
+
+    def boxes(s):
+        return direct_cov(s) if s <= DIRECT_MAX else integral_cov(s)
+
+    cont, ent = _per_size(rect, list(range(2, MAX_RECT + 1)), boxes)
+    c_xx, c_xy, c_xz = ent[..., 0], ent[..., 1], ent[..., 2]
+    c_yy, c_yz, c_zz = ent[..., 3], ent[..., 4], ent[..., 5]
     cov = jnp.stack(
         [
-            jnp.stack([sxx - sx * sx / n_safe, sxy - sx * sy / n_safe, sxz - sx * sz / n_safe], -1),
-            jnp.stack([sxy - sx * sy / n_safe, syy - sy * sy / n_safe, syz - sy * sz / n_safe], -1),
-            jnp.stack([sxz - sx * sz / n_safe, syz - sy * sz / n_safe, szz - sz * sz / n_safe], -1),
+            jnp.stack([c_xx, c_xy, c_xz], -1),
+            jnp.stack([c_xy, c_yy, c_yz], -1),
+            jnp.stack([c_xz, c_yz, c_zz], -1),
         ],
         axis=-2,
     )

@@ -99,20 +99,27 @@ def _normal_valid_and(n: jnp.ndarray) -> jnp.ndarray:
 # ----------------------------------------------------------------- seeding
 
 
+def _edge_shift(padded: jnp.ndarray, dy: int, dx: int, r: int, h: int, w: int):
+    """Slice view of an edge-padded array displaced by (dy, dx) — clamped
+    indexing as pad+slice (pure VPU; per-pixel gathers serialize on TPU)."""
+    from jax import lax
+
+    start = [r + dy, r + dx] + [0] * (padded.ndim - 2)
+    sizes = [h, w] + list(padded.shape[2:])
+    return lax.slice(padded, start, [s + z for s, z in zip(start, sizes)])
+
+
 def _color_gradient(color_f: jnp.ndarray) -> jnp.ndarray:
     """Mean colour-distance gradient over an 11x11 clamped window
     (sampleInitialClusters, SuperpixelSegmentation.cu:39-60; bug (a) fixed:
     the comparison pixel is the clamped window neighbour)."""
     h, w, _ = color_f.shape
+    cpad = jnp.pad(color_f, [(5, 5), (5, 5), (0, 0)], mode="edge")
     sum_g = jnp.zeros((h, w), jnp.float32)
     count = jnp.zeros((h, w), jnp.float32)
-    v = jnp.arange(h)[:, None]
-    u = jnp.arange(w)[None, :]
     for dy in range(-5, 6):
         for dx in range(-5, 6):
-            yy = jnp.clip(v + dy, 0, h - 1)
-            xx = jnp.clip(u + dx, 0, w - 1)
-            nb = color_f[yy, xx]
+            nb = _edge_shift(cpad, dy, dx, 5, h, w)
             g = jnp.sqrt(jnp.sum(jnp.square(color_f - nb), axis=-1))
             sum_g = sum_g + g
             count = count + (g > 0.0)
@@ -124,17 +131,15 @@ def _nasp_gradient(color_f: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
     normals are valid (AND-validity), NormalAdaptiveSuperpixel.cu:39-71."""
     h, w, _ = color_f.shape
     valid_c = _normal_valid_and(normals)
+    cpad = jnp.pad(color_f, [(5, 5), (5, 5), (0, 0)], mode="edge")
+    npad = jnp.pad(normals, [(5, 5), (5, 5), (0, 0)], mode="edge")
     sum_g = jnp.zeros((h, w), jnp.float32)
     count = jnp.zeros((h, w), jnp.float32)
-    v = jnp.arange(h)[:, None]
-    u = jnp.arange(w)[None, :]
     for dy in range(-5, 6):
         for dx in range(-5, 6):
-            yy = jnp.clip(v + dy, 0, h - 1)
-            xx = jnp.clip(u + dx, 0, w - 1)
-            nb = color_f[yy, xx]
+            nb = _edge_shift(cpad, dy, dx, 5, h, w)
             g = jnp.sqrt(jnp.sum(jnp.square(color_f - nb), axis=-1))
-            nnb = normals[yy, xx]
+            nnb = _edge_shift(npad, dy, dx, 5, h, w)
             both = valid_c & _normal_valid_and(nnb)
             ndiff = jnp.abs(jnp.sum(normals * nnb, axis=-1))
             g = jnp.where(both, g * (1.0 - ndiff), g)

@@ -1,14 +1,23 @@
-"""Test configuration: force CPU with 8 virtual devices BEFORE jax imports,
-so sharding/collective tests run without TPU hardware (SURVEY.md §4)."""
+"""Test configuration: force CPU with 8 virtual devices.
+
+NOTE: this image's sitecustomize pre-registers the axon TPU backend and the
+env pins JAX_PLATFORMS=axon, so the env-var route is dead by the time
+conftest runs.  Backend *initialisation* is lazy though, so updating the jax
+config here still wins — tests always run on 8 virtual CPU devices
+(SURVEY.md §4: sharding/collective correctness without a pod).
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even if the session exports axon/tpu
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -32,28 +32,27 @@ def dci_map(vm, max_depth_change=0.05):
 
 
 def distance_transform(dci):
-    """Reference two-pass chamfer (SmoothingAreaMapGenerator.cu:40-92),
-    including its loop bounds (rows/cols 0 sources-only in pass 1 etc.)."""
+    """Chamfer DT to the fixpoint (the clean spec of ops/normals.py).
+
+    The reference's single two-pass sweep skips row/col 0 in one direction
+    each, so its border band can exceed the true chamfer distance; both
+    implementations here converge to the exact fixpoint instead (the border
+    band lies inside the invalid normal border downstream, SURVEY.md §2
+    contract notes)."""
     h, w = dci.shape
     dt = np.where(dci == 0, 0.0, float(w + h))
-    # clean-border spec (the reference's linear-index wrap reads at the row
-    # ends are dropped; affected pixels are inside the invalid normal border)
-    for ri in range(1, h):
-        for ci in range(1, w):
-            cands = [dt[ri - 1, ci - 1] + 1.4, dt[ri - 1, ci] + 1.0, dt[ri, ci - 1] + 1.0]
-            if ci + 1 < w:
-                cands.append(dt[ri - 1, ci + 1] + 1.4)
-            m = min(cands)
-            if m < dt[ri, ci]:
-                dt[ri, ci] = m
-    for ri in range(h - 2, -1, -1):
-        for ci in range(w - 2, -1, -1):
-            cands = [dt[ri + 1, ci] + 1.0, dt[ri + 1, ci + 1] + 1.4, dt[ri, ci + 1] + 1.0]
-            if ci - 1 >= 0:
-                cands.append(dt[ri + 1, ci - 1] + 1.4)
-            m = min(cands)
-            if m < dt[ri, ci]:
-                dt[ri, ci] = m
+    nbrs = [(-1, -1, 1.4), (-1, 0, 1.0), (-1, 1, 1.4), (0, -1, 1.0),
+            (0, 1, 1.0), (1, -1, 1.4), (1, 0, 1.0), (1, 1, 1.4)]
+    changed = True
+    while changed:
+        changed = False
+        for ri in range(h):
+            for ci in range(w):
+                for dy, dx, c in nbrs:
+                    yy, xx = ri + dy, ci + dx
+                    if 0 <= yy < h and 0 <= xx < w and dt[yy, xx] + c < dt[ri, ci]:
+                        dt[ri, ci] = dt[yy, xx] + c
+                        changed = True
     return dt
 
 

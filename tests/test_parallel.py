@@ -1,0 +1,84 @@
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from kinectdepthmapenhancement_tpu.core.camera import default_kinect_intrinsics
+from kinectdepthmapenhancement_tpu.core.config import GridParams, KDEConfig
+from kinectdepthmapenhancement_tpu.models.pipelines import kde_pipeline
+from kinectdepthmapenhancement_tpu.parallel import halo
+from kinectdepthmapenhancement_tpu.parallel.mesh import make_mesh
+from kinectdepthmapenhancement_tpu.parallel.sharding import sharded_kde_step
+
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _box5(x):
+    """5x5 zero-padded box sum, the stencil shape of JBF/MRF."""
+    p = jnp.pad(x, 2)
+    out = jnp.zeros_like(x)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            out = out + jax.lax.slice(
+                p, (2 + dy, 2 + dx), (2 + dy + x.shape[0], 2 + dx + x.shape[1])
+            )
+    return out
+
+
+@requires_8
+def test_halo_exchange_box_sum_bitwise_equal():
+    mesh = make_mesh(8, spatial=8)
+    h, w = 32, 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+
+    def local(xs):
+        padded = halo.exchange_width(xs, 2, "x")  # [H, ws+4]
+        padded = jnp.pad(padded, ((2, 2), (0, 0)))
+        out = jnp.zeros_like(xs)
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                out = out + jax.lax.slice(
+                    padded, (2 + dy, 2 + dx), (2 + dy + xs.shape[0], 2 + dx + xs.shape[1])
+                )
+        return out
+
+    f = shard_map(local, mesh=mesh, in_specs=P(None, "x"), out_specs=P(None, "x"))
+    got = np.asarray(jax.jit(f)(x))
+    want = np.asarray(_box5(x))
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_8
+def test_sharded_kde_matches_single_device():
+    mesh = make_mesh(8, spatial=2)
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    cfg = dataclasses.replace(KDEConfig(), grid=GridParams(rows=3, cols=4))
+    rng = np.random.default_rng(0)
+    batch = mesh.shape["data"]
+    depth = jnp.asarray(rng.uniform(500, 4000, (batch, h, w)).astype(np.float32))
+    color = jnp.asarray(rng.integers(0, 255, (batch, h, w, 3), dtype=np.uint8))
+
+    step = sharded_kde_step(mesh, intr, cfg)
+    got = np.asarray(step(depth, color))
+
+    single = jax.jit(
+        jax.vmap(lambda d, c: kde_pipeline(d, c, intr, cfg).optimized_points)
+    )
+    want = np.asarray(single(depth, color))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.5)
+
+
+@requires_8
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

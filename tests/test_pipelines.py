@@ -1,0 +1,135 @@
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kinectdepthmapenhancement_tpu.core.camera import (
+    default_kinect_intrinsics,
+    projective_to_real,
+)
+from kinectdepthmapenhancement_tpu.core.config import (
+    GridParams,
+    KDEConfig,
+    RGBFConfig,
+    SPDSPConfig,
+    TOFConfig,
+)
+from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
+from kinectdepthmapenhancement_tpu.models import pipelines
+from kinectdepthmapenhancement_tpu.utils import metrics
+
+
+def _scene(h=96, w=128, seed=0):
+    intr = default_kinect_intrinsics(w, h)
+    color, noisy, gt = make_noisy_scene(h, w, intr, seed=seed)
+    grid = GridParams(rows=3, cols=4)
+    return intr, jnp.asarray(color), jnp.asarray(noisy), jnp.asarray(gt), grid
+
+
+def test_kde_reduces_error_vs_input_full_res(full_scene):
+    """End-to-end quality at the reference's native 640x480 / 15x20 grid (the
+    pipeline constants — min cluster 1300 px, sigma sets — are tuned for this
+    scale; smaller crops over-merge by design).  Mirrors the evaluation of
+    main.cpp:217-309 on the synthetic scene, and checks the <=1 cm RMSE
+    target (BASELINE.md)."""
+    intr = full_scene["intr"]
+    noisy = jnp.asarray(full_scene["depth"])
+    color = jnp.asarray(full_scene["color"])
+    gt = jnp.asarray(full_scene["gt"])
+    cfg = KDEConfig()
+    res = jax.jit(lambda d, c: pipelines.kde_pipeline(d, c, intr, cfg))(noisy, color)
+    gt_pts = projective_to_real(gt, intr)
+    in_pts = projective_to_real(noisy, intr)
+    err_in, _ = metrics.mean_3d_error(in_pts, gt_pts)
+    err_out, n = metrics.mean_3d_error(res.optimized_points, gt_pts)
+    assert float(n) > 200000
+    assert float(err_out) < float(err_in)
+    rmse = metrics.depth_rmse(res.optimized_points[..., 2], gt)
+    assert float(rmse) < 10.0  # mm
+
+
+def test_kde_output_shapes_and_finite():
+    intr, color, noisy, gt, grid = _scene()
+    cfg = dataclasses.replace(KDEConfig(), grid=grid)
+    res = jax.jit(lambda d, c: pipelines.kde_pipeline(d, c, intr, cfg))(noisy, color)
+    h, w = noisy.shape
+    assert res.optimized_points.shape == (h, w, 3)
+    assert res.normals.shape == (h, w, 3)
+    assert res.merged_labels.shape == (h, w)
+    assert np.isfinite(np.asarray(res.optimized_points)).all()
+    # labels within [-1, K)
+    lab = np.asarray(res.merged_labels)
+    assert lab.min() >= -1 and lab.max() < grid.num_clusters
+
+
+def test_rgbf_refined_depth_valid_range():
+    intr, color, noisy, gt, grid = _scene()
+    cfg = dataclasses.replace(RGBFConfig(), grid=grid)
+    pts = projective_to_real(noisy, intr)
+    res = jax.jit(lambda d, p, c: pipelines.rgbf_pipeline(d, p, c, cfg))(
+        noisy, pts, color
+    )
+    d = np.asarray(res.refined_depth)
+    assert np.isfinite(d).all()
+    valid = d > 50.0
+    gtn = np.asarray(gt)
+    assert valid.mean() > 0.5
+    assert abs(np.median(d[valid]) - np.median(gtn[gtn > 0])) < 200.0
+
+
+def test_spdsp_improves_plane_consistency():
+    intr, color, noisy, gt, grid = _scene()
+    cfg = dataclasses.replace(SPDSPConfig(), grid=grid)
+    pts = projective_to_real(noisy, intr)
+    res = jax.jit(lambda d, p, c: pipelines.spdsp_pipeline(d, p, c, intr, cfg))(
+        noisy, pts, color
+    )
+    gt_pts = projective_to_real(gt, intr)
+    err_out, n = metrics.mean_3d_error(res.optimized_points, gt_pts)
+    err_in, _ = metrics.mean_3d_error(pts, gt_pts)
+    assert float(n) > 5000
+    assert float(err_out) <= float(err_in) * 1.1  # no catastrophic regression
+
+
+def test_tof_optimized_equals_refined_points():
+    """TOF's projection stage copies the input points unchanged (the
+    reference's optimisation kernels are commented out)."""
+    intr, color, noisy, gt, grid = _scene()
+    cfg = dataclasses.replace(TOFConfig(), grid=grid)
+    pts = projective_to_real(noisy, intr)
+    res = jax.jit(lambda d, p, c: pipelines.tof_pipeline(d, p, c, intr, cfg))(
+        noisy, pts, color
+    )
+    want = projective_to_real(res.refined_depth, intr)
+    np.testing.assert_allclose(
+        np.asarray(res.optimized_points), np.asarray(want), rtol=1e-6
+    )
+
+
+def test_kde_batched_vmap():
+    intr, color, noisy, gt, grid = _scene(64, 96)
+    cfg = dataclasses.replace(KDEConfig(), grid=grid)
+    db = jnp.stack([noisy, noisy])
+    cb = jnp.stack([color, color])
+    out = jax.jit(
+        jax.vmap(lambda d, c: pipelines.kde_pipeline(d, c, intr, cfg).optimized_points)
+    )(db, cb)
+    assert out.shape == (2, 64, 96, 3)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_metrics_mean_3d_error_matches_reference_definition():
+    """Hand check of the main.cpp:302-309 metric on a 2x2 example."""
+    a = jnp.asarray(
+        [[[0.0, 0.0, 1000.0], [0, 0, 20000.0]], [[0, 0, 40.0], [3.0, 4.0, 1000.0]]],
+        jnp.float32,
+    )
+    b = jnp.asarray(
+        [[[0.0, 0.0, 1010.0], [0, 0, 1000.0]], [[0, 0, 1000.0], [0.0, 0.0, 1000.0]]],
+        jnp.float32,
+    )
+    err, n = metrics.mean_3d_error(a, b)
+    # only (0,0) and (1,1) are jointly valid: errors 10 and 5
+    assert int(n) == 2
+    assert abs(float(err) - 7.5) < 1e-4
