@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from kinectdepthmapenhancement_tpu.core.config import CCLParams, CCLPCAParams
+from kinectdepthmapenhancement_tpu.ops import tables
 
 INVALID_ND = 5.0
 
@@ -57,15 +58,23 @@ class MergeResult(NamedTuple):
 
 
 def _adjacency(labels: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[K+1, K+1] bool: cluster pairs adjacent via a 4-neighbour pixel pair.
-    Invalid labels (-1) map to row/col K."""
-    lab = jnp.where(labels >= 0, labels, k)
-    pairs_a = jnp.concatenate([lab[:, :-1].reshape(-1), lab[:-1, :].reshape(-1)])
-    pairs_b = jnp.concatenate([lab[:, 1:].reshape(-1), lab[1:, :].reshape(-1)])
+    """[K, K] bool: cluster pairs adjacent via a 4-neighbour pixel pair."""
+    pairs_a = jnp.concatenate([labels[:, :-1].reshape(-1), labels[:-1, :].reshape(-1)])
+    pairs_b = jnp.concatenate([labels[:, 1:].reshape(-1), labels[1:, :].reshape(-1)])
+    if tables.use_mxu():
+        # scatter serializes on TPU; count pair occurrences on the MXU
+        pa = tables.one_hot(pairs_a, k)
+        pb = tables.one_hot(pairs_b, k)
+        counts = jax.lax.dot_general(
+            pa, pb, dimension_numbers=(((0,), (0,)), ((), ()))
+        )
+        return (counts + counts.T) > 0.0
+    la = jnp.where(pairs_a >= 0, pairs_a, k)
+    lb = jnp.where(pairs_b >= 0, pairs_b, k)
     adj = jnp.zeros((k + 1, k + 1), jnp.bool_)
-    adj = adj.at[pairs_a, pairs_b].set(True)
-    adj = adj.at[pairs_b, pairs_a].set(True)
-    return adj
+    adj = adj.at[la, lb].set(True)
+    adj = adj.at[lb, la].set(True)
+    return adj[:k, :k]
 
 
 def _components(mergeable: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +112,7 @@ def _merge(
     h, w = labels.shape
     k = cluster_nd.shape[0]
 
-    adj = _adjacency(labels, k)[:k, :k]
+    adj = _adjacency(labels, k)
     na = cluster_nd[:, None, :3]
     nb = cluster_nd[None, :, :3]
     dot = jnp.sum(na * nb, axis=-1)
@@ -113,27 +122,39 @@ def _merge(
 
     rep = _components(mergeable, cluster_valid)
 
-    # per-pixel merged label
-    lab0 = jnp.maximum(labels, 0)
-    pix_valid = (labels >= 0) & jnp.take(cluster_valid, lab0)
-    merged = jnp.where(pix_valid, jnp.take(rep, lab0), -1)
-
-    # ---- stats (countKernel / calculate_nd)
-    flat = jnp.where(pix_valid, merged, k).reshape(-1)
-    pix_nd = jnp.take(cluster_nd, lab0, axis=0)      # per-pixel original nd
-    pix_ct = jnp.take(cluster_centers, lab0, axis=0)
-    feats = jnp.concatenate(
+    # per-pixel merged label: rep and validity gathered through the original
+    # cluster table (K-entry lookups composed on the table side, then ONE
+    # per-pixel gather via tables.gather)
+    table_side = jnp.concatenate(
         [
-            pix_nd[..., :3].reshape(-1, 3),
-            pix_ct.reshape(-1, 3),
-            jnp.ones((h * w, 1), jnp.float32),
+            rep.astype(jnp.float32)[:, None],
+            cluster_valid.astype(jnp.float32)[:, None],
+            cluster_nd[:, :3],
+            cluster_centers,
         ],
         axis=-1,
     )
     if eigenvalues is not None:
-        pix_eig = jnp.take(eigenvalues, lab0).reshape(-1, 1)
-        feats = jnp.concatenate([feats, pix_eig], axis=-1)
-    sums = jax.ops.segment_sum(feats, flat, num_segments=k + 1)[:k]
+        table_side = jnp.concatenate([table_side, eigenvalues[:, None]], axis=-1)
+    g = tables.gather(table_side, labels)
+    pix_valid = (labels >= 0) & (g[..., 1] > 0.0)
+    merged = jnp.where(pix_valid, g[..., 0].astype(jnp.int32), -1)
+    pix_nd3 = g[..., 2:5]
+    pix_ct = g[..., 5:8]
+
+    # ---- stats (countKernel / calculate_nd)
+    mlab = jnp.where(pix_valid, merged, -1)
+    onehot_m = tables.one_hot(mlab, k) if tables.use_mxu() else None
+    feats = jnp.concatenate(
+        [
+            pix_nd3.reshape(-1, 3),
+            pix_ct.reshape(-1, 3),
+            jnp.ones((h * w, 1), jnp.float32),
+        ]
+        + ([g[..., 8].reshape(-1, 1)] if eigenvalues is not None else []),
+        axis=-1,
+    )
+    sums = tables.segment_sum(feats, mlab, k, onehot=onehot_m)
     sizes = sums[:, 6]
     safe = jnp.maximum(sizes, 1.0)
     mean_n = sums[:, 0:3] / safe[:, None]
@@ -142,20 +163,25 @@ def _merge(
     merged_nd_k = jnp.concatenate([mean_n, mdist[:, None]], axis=-1)
 
     # variance: mean over pixels of dot(original nd, merged mean normal)
-    mean_n_pix = jnp.take(mean_n, jnp.maximum(merged, 0), axis=0)
-    pix_dot = jnp.sum(pix_nd[..., :3] * mean_n_pix, axis=-1)
-    size_pix = jnp.take(safe, jnp.maximum(merged, 0))
-    var_sum = jax.ops.segment_sum(
-        (pix_dot / size_pix).reshape(-1), flat, num_segments=k + 1
-    )[:k]
+    merged_side = jnp.concatenate(
+        [merged_nd_k, safe[:, None]]
+        + ([(sums[:, 7] / safe)[:, None]] if eigenvalues is not None else []),
+        axis=-1,
+    )
+    gm = tables.gather(merged_side, mlab, onehot=onehot_m)
+    mean_n_pix = gm[..., 0:3]
+    size_pix = jnp.maximum(gm[..., 4], 1.0)
+    pix_dot = jnp.sum(pix_nd3 * mean_n_pix, axis=-1)
+    var_sum = tables.segment_sum(
+        jnp.where(pix_valid, pix_dot / size_pix, 0.0)[..., None],
+        mlab, k, onehot=onehot_m,
+    )[:, 0]
 
-    nd_map = jnp.take(merged_nd_k, jnp.maximum(merged, 0), axis=0)
-    nd_map = jnp.where((merged >= 0)[..., None], nd_map, 0.0)
+    nd_map = jnp.where((merged >= 0)[..., None], gm[..., 0:4], 0.0)
 
     if eigenvalues is not None:
         eig_k = sums[:, 7] / safe
-        eig_map = jnp.take(eig_k, jnp.maximum(merged, 0))
-        eig_map = jnp.where(merged >= 0, eig_map, 0.0)
+        eig_map = jnp.where(merged >= 0, gm[..., 5], 0.0)
     else:
         eig_k = jnp.zeros((k,), jnp.float32)
         eig_map = jnp.zeros((h, w), jnp.float32)

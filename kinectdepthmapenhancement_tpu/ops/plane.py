@@ -32,7 +32,7 @@ from jax import lax
 from kinectdepthmapenhancement_tpu.core.buffer2d import VALID_DEPTH_MM
 from kinectdepthmapenhancement_tpu.core.camera import Intrinsics, normalized_rays
 from kinectdepthmapenhancement_tpu.core.config import ProjectionParams
-from kinectdepthmapenhancement_tpu.ops import stencil
+from kinectdepthmapenhancement_tpu.ops import stencil, tables
 from kinectdepthmapenhancement_tpu.ops.normals import smallest_eigenvector
 
 PI_8 = 3.141592653 / 8.0
@@ -58,8 +58,7 @@ def set_pseudo_depth_map(
     """Per-pixel nd map + variance gate (first overload, Projection_GPU.cu:20-48;
     used by KDE with the CCL-merged outputs): plane-project where label > -1
     and acos(variance[label]) < pi/8, else pass through the input points."""
-    lab0 = jnp.maximum(labels, 0)
-    var = jnp.take(variance, lab0)
+    var = tables.gather(variance, labels)
     # acos(v) < pi/8  <=>  v > cos(pi/8); v > 1 -> NaN -> false in reference
     gate = (labels > -1) & (var > COS_PI_8) & (var <= 1.0)
     proj = _project(nd_map, rays)
@@ -77,8 +76,7 @@ def set_pseudo_depth_cluster(
     """Per-cluster nd table (second overload, Projection_GPU.cu:50-77; SPDSP):
     project where label > -1 and |nd.x| < 1 (invalid sentinel 5.0).
     strict=True uses <= 1.0 (the PCA variant, Projection_PCA.cu:20-48)."""
-    lab0 = jnp.maximum(labels, 0)
-    nd = jnp.take(cluster_nd, lab0, axis=0)
+    nd = tables.gather(cluster_nd, labels)
     ok = jnp.abs(nd[..., 0]) <= 1.0 if strict else jnp.abs(nd[..., 0]) < 1.0
     gate = (labels > -1) & ok
     proj = _project(nd, rays)
@@ -95,12 +93,15 @@ def set_pseudo_depth_normals(
 ) -> jnp.ndarray:
     """Normals+centers overload (Projection_GPU.cu:79-115): d = |n.center|,
     gate on acos(variance[label]) < pi/8."""
-    lab0 = jnp.maximum(labels, 0)
-    n = jnp.take(cluster_normals, lab0, axis=0)
-    c = jnp.take(cluster_centers, lab0, axis=0)
+    g = tables.gather(
+        jnp.concatenate(
+            [cluster_normals, cluster_centers, variance[:, None]], axis=-1
+        ),
+        labels,
+    )
+    n, c, var = g[..., 0:3], g[..., 3:6], g[..., 6]
     d = jnp.abs(jnp.sum(n * c, axis=-1))
     nd = jnp.concatenate([n, d[..., None]], axis=-1)
-    var = jnp.take(variance, lab0)
     gate = (labels > -1) & (var > COS_PI_8) & (var <= 1.0)
     proj = _project(nd, rays)
     return jnp.where(gate[..., None], proj, points)
@@ -124,9 +125,13 @@ def variance_optimization(
     zo = optimized[..., 2]
     zp = plane_fitted[..., 2]
     diff = jnp.abs(zo - zp)
-    lab0 = jnp.maximum(labels, 0)
-    var = jnp.take(variance, lab0)
-    size = jnp.take(sizes, lab0)
+    g = tables.gather(
+        jnp.concatenate(
+            [variance[:, None], sizes.astype(jnp.float32)[:, None]], axis=-1
+        ),
+        labels,
+    )
+    var, size = g[..., 0], g[..., 1]
     gate = (
         (zp > VALID_DEPTH_MM)
         & (diff < zo * agree_loose)
@@ -244,20 +249,21 @@ def pca_planes(points: jnp.ndarray, labels: jnp.ndarray, k: int) -> PCAPlanes:
     """
     hw = points.shape[0] * points.shape[1]
     flat_pts = points.reshape(-1, 3)
-    flat_lab = jnp.where(labels.reshape(-1) >= 0, labels.reshape(-1), k)
+    flat_lab = labels.reshape(-1)
+    onehot = tables.one_hot(flat_lab, k) if tables.use_mxu() else None
 
     ones = jnp.ones((hw, 1), jnp.float32)
-    sums = jax.ops.segment_sum(
-        jnp.concatenate([flat_pts, ones], axis=-1), flat_lab, num_segments=k + 1
-    )[:k]
+    sums = tables.segment_sum(
+        jnp.concatenate([flat_pts, ones], axis=-1), flat_lab, k, onehot=onehot
+    )
     count = sums[:, 3]
     mean = sums[:, 0:3] / jnp.maximum(count, 1.0)[:, None]
 
-    centered = flat_pts - jnp.take(mean, jnp.minimum(flat_lab, k - 1), axis=0)
-    centered = jnp.where((flat_lab < k)[:, None], centered, 0.0)
+    centered = flat_pts - tables.gather(mean, flat_lab, onehot=onehot)
+    centered = jnp.where((flat_lab >= 0)[:, None], centered, 0.0)
     cx, cy, cz = centered[:, 0], centered[:, 1], centered[:, 2]
     sq = jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], axis=-1)
-    m = jax.ops.segment_sum(sq, flat_lab, num_segments=k + 1)[:k]
+    m = tables.segment_sum(sq, flat_lab, k, onehot=onehot)
     n_safe = jnp.maximum(count, 1.0)
     # cv::PCA uses the scatter matrix scaled by 1/N (CV_COVAR_SCALE with rows)
     cov = jnp.stack(

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 
 from kinectdepthmapenhancement_tpu.core.buffer2d import VALID_DEPTH_MM
 from kinectdepthmapenhancement_tpu.core.config import GridParams, SLICParams
+from kinectdepthmapenhancement_tpu.ops import tables
 
 INIT_DISTANCE = 999999.9
 INVALID_NORMAL = -1.0
@@ -261,42 +262,76 @@ def _assign(
         take = cand_d < bd  # strict: first occurrence wins ties (tid order)
         return jnp.where(take, cand_d, bd), jnp.where(take, cand_l, bl)
 
-    rgbt, xyt = clusters.rgb, clusters.xy
-    cent, norm = clusters.center, clusters.normal
-    for dy in range(-r, r):
-        for dx in range(-r, r):
-            rcx = cur_cx + dx
-            rcy = cur_cy + dy
-            in_grid = (rcx >= 0) & (rcx < grid.cols) & (rcy >= 0) & (rcy < grid.rows)
-            rid = jnp.where(in_grid, rcy * grid.cols + rcx, 0)
-            c_rgb = jnp.take(rgbt, rid, axis=0)
-            c_xy = jnp.take(xyt, rid, axis=0).astype(jnp.float32)
-            cd = jnp.sum(jnp.square(color_f - c_rgb), axis=-1)
-            pd = jnp.sqrt(
-                jnp.square(u - c_xy[..., 0]) + jnp.square(v - c_xy[..., 1])
-            ) * (s_scale**2)
-            if variant == "sp":
-                dist = cd * w_col + pd * w_spa
+    offs = [(dy, dx) for dy in range(-r, r) for dx in range(-r, r)]
+    k = grid.num_clusters
+    fields = jnp.concatenate(
+        [
+            clusters.rgb,                       # 0:3
+            clusters.xy.astype(jnp.float32),    # 3:5
+            clusters.center,                    # 5:8
+            clusters.normal,                    # 8:11
+        ],
+        axis=-1,
+    )
+    nf = fields.shape[1]
+
+    if tables.use_mxu():
+        # bulk gather: rid == lab0 + (dy*cols + dx) for in-grid lanes, so
+        # gathering at every offset is ONE one-hot matmul against the
+        # horizontally concatenated row-shifted tables (per-pixel gathers
+        # serialize on TPU; this runs on the MXU).
+        shifted = []
+        for dy, dx in offs:
+            c = dy * grid.cols + dx
+            if c >= 0:
+                sh = jnp.pad(fields[c:], ((0, c), (0, 0)))
             else:
-                c_c = jnp.take(cent, rid, axis=0)
-                zpair = (z > VALID_DEPTH_MM) & (c_c[..., 2] > VALID_DEPTH_MM)
-                dd = jnp.where(zpair, jnp.abs(z - c_c[..., 2]), 0.0)
-                dist = cd * w_col + pd * w_spa + dd * w_dep
-                if variant == "nasp":
-                    c_n = jnp.take(norm, rid, axis=0)
-                    npair = (
-                        zpair
-                        & _normal_valid_or(normals)
-                        & _normal_valid_or(c_n)
-                    )
-                    dot = jnp.sum(normals * c_n, axis=-1)
-                    nd = jnp.where(
-                        npair, 255.0**2 * (1.0 - jnp.maximum(dot, 0.0)), 0.0
-                    )
-                    dist = dist + nd * w_nor
-            cand_d = jnp.where(in_grid, dist, distance)
-            cand_l = jnp.where(in_grid, rid, labels)
-            best_d, best_l = consider(cand_d, cand_l, (best_d, best_l))
+                sh = jnp.pad(fields[:c], ((-c, 0), (0, 0)))
+            shifted.append(sh)
+        big = jnp.concatenate(shifted, axis=-1)          # [K, n_off * nf]
+        gathered_all = tables.gather(big, lab0)          # [H, W, n_off * nf]
+
+        def gathered(i, rid, in_grid):
+            return gathered_all[..., i * nf : (i + 1) * nf]
+    else:
+
+        def gathered(i, rid, in_grid):
+            return jnp.take(fields, rid, axis=0)
+
+    for i, (dy, dx) in enumerate(offs):
+        rcx = cur_cx + dx
+        rcy = cur_cy + dy
+        in_grid = (rcx >= 0) & (rcx < grid.cols) & (rcy >= 0) & (rcy < grid.rows)
+        rid = jnp.where(in_grid, rcy * grid.cols + rcx, 0)
+        g = gathered(i, rid, in_grid)
+        c_rgb = g[..., 0:3]
+        c_xy = g[..., 3:5]
+        cd = jnp.sum(jnp.square(color_f - c_rgb), axis=-1)
+        pd = jnp.sqrt(
+            jnp.square(u - c_xy[..., 0]) + jnp.square(v - c_xy[..., 1])
+        ) * (s_scale**2)
+        if variant == "sp":
+            dist = cd * w_col + pd * w_spa
+        else:
+            c_cz = g[..., 7]
+            zpair = (z > VALID_DEPTH_MM) & (c_cz > VALID_DEPTH_MM)
+            dd = jnp.where(zpair, jnp.abs(z - c_cz), 0.0)
+            dist = cd * w_col + pd * w_spa + dd * w_dep
+            if variant == "nasp":
+                c_n = g[..., 8:11]
+                npair = (
+                    zpair
+                    & _normal_valid_or(normals)
+                    & _normal_valid_or(c_n)
+                )
+                dot = jnp.sum(normals * c_n, axis=-1)
+                nd = jnp.where(
+                    npair, 255.0**2 * (1.0 - jnp.maximum(dot, 0.0)), 0.0
+                )
+                dist = dist + nd * w_nor
+        cand_d = jnp.where(in_grid, dist, distance)
+        cand_l = jnp.where(in_grid, rid, labels)
+        best_d, best_l = consider(cand_d, cand_l, (best_d, best_l))
 
     new_labels, new_dist = best_l, best_d
     # invalid-depth override (DepthAdaptiveSuperpixel.cu:306-312 /
@@ -321,10 +356,9 @@ def _window_mask(
     """Pixels within the reference's update window [lo, hi] (both dims)
     relative to their cluster's OLD mean pixel, and with a matching label."""
     h, w = labels.shape
-    lab0 = jnp.maximum(labels, 0)
-    cxy = jnp.take(clusters.xy, lab0, axis=0)
-    v = jnp.arange(h, dtype=jnp.int32)[:, None]
-    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    cxy = tables.gather(clusters.xy.astype(jnp.float32), labels)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :]
     dx = u - cxy[..., 0]
     dy = v - cxy[..., 1]
     inside = (dx >= lo) & (dx <= hi) & (dy >= lo) & (dy <= hi)
@@ -333,10 +367,8 @@ def _window_mask(
 
 def _segment_sum(feats: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray, k: int):
     """sum of feats[H,W,F] per cluster over masked pixels -> [K, F]."""
-    f = feats.reshape(-1, feats.shape[-1])
-    l = jnp.where(mask, labels, k).reshape(-1)
-    out = jax.ops.segment_sum(f, l, num_segments=k + 1)
-    return out[:k]
+    masked = jnp.where(mask, labels, -1)
+    return tables.segment_sum(feats, masked, k)
 
 
 def _update_sp(
@@ -487,10 +519,13 @@ def _update_nasp_weighted(
     mask = _window_mask(labels, clusters, lo, hi)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
-    lab0 = jnp.maximum(labels, 0)
-    c_rgb = jnp.take(clusters.rgb, lab0, axis=0)
-    c_xy = jnp.take(clusters.xy, lab0, axis=0).astype(jnp.float32)
-    c_n = jnp.take(clusters.normal, lab0, axis=0)
+    g = tables.gather(
+        jnp.concatenate(
+            [clusters.rgb, clusters.xy.astype(jnp.float32), clusters.normal], -1
+        ),
+        labels,
+    )
+    c_rgb, c_xy, c_n = g[..., 0:3], g[..., 3:5], g[..., 5:8]
 
     cdiff = jnp.sum(jnp.square(color_f - c_rgb), axis=-1)
     cfilt = jnp.exp(-cdiff / (2.0 * params.color_sigma**2))
@@ -610,7 +645,8 @@ def segment(
     labels = init_labels(grid, h, w)
     distance = jnp.full((h, w), INIT_DISTANCE, jnp.float32)
 
-    for _ in range(params.iterations):
+    def iteration(_, state):
+        labels, distance, clusters = state
         labels, distance = _assign(
             labels, distance, clusters, color_f, points, normals,
             grid, params, variant, neighborhood, s_scale,
@@ -629,4 +665,11 @@ def segment(
                 labels, clusters, color_f, points, normals, grid, params,
                 window_range, h, w,
             )
+        return labels, distance, clusters
+
+    # the iteration body is traced once (lax.fori_loop): unrolling the
+    # reference's 5-iteration pipelines explodes XLA compile time
+    labels, distance, clusters = jax.lax.fori_loop(
+        0, params.iterations, iteration, (labels, distance, clusters)
+    )
     return SLICResult(labels=labels, distance=distance, clusters=clusters)

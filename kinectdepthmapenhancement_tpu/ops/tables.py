@@ -1,0 +1,87 @@
+"""Cluster-table access primitives with an MXU fast path.
+
+The framework constantly moves data between the image plane [H, W] and the
+~300-row cluster tables [K, F]: per-pixel gathers (table[labels]) and
+per-cluster reductions (segment sums).  XLA lowers both to gather/scatter on
+TPU, which serialize and dominated the profile (~100x slower than the maths).
+
+TPU-native replacement: a one-hot label matrix P [N, K] (exact 0/1 rows,
+all-zero for invalid labels) turns
+    gather:       table[labels]  ==  P @ table
+    segment sum:  sum per label  ==  P.T @ feats
+both MXU matmuls.  With float32 operands and HIGHEST precision (bf16x6
+decomposition) the products are f32-faithful; since every P row has at most
+a single 1, the gather result equals the table value to the last ulp.
+
+On CPU (tests/oracle parity) the primitives fall back to jnp.take /
+jax.ops.segment_sum, which are exact and fast there.  `force_mode` lets
+tests pin either path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_FORCE: Optional[str] = None  # None | "mxu" | "reference"
+
+
+def force_mode(mode: Optional[str]) -> None:
+    global _FORCE
+    assert mode in (None, "mxu", "reference")
+    _FORCE = mode
+
+
+def use_mxu() -> bool:
+    if _FORCE == "mxu":
+        return True
+    if _FORCE == "reference":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def one_hot(labels: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[N, K] f32 one-hot of flattened labels; invalid (<0 or >=k) rows are
+    all zero."""
+    flat = labels.reshape(-1)
+    return (flat[:, None] == jnp.arange(k, dtype=flat.dtype)[None, :]).astype(
+        jnp.float32
+    )
+
+
+def gather(table: jnp.ndarray, labels: jnp.ndarray, *, onehot: Optional[jnp.ndarray] = None):
+    """table[labels] with 0 for invalid labels.  table: [K] or [K, F];
+    labels: any shape.  Pass a precomputed `onehot` to amortise it."""
+    shape = labels.shape
+    squeeze = table.ndim == 1
+    t2 = table[:, None] if squeeze else table
+    if use_mxu():
+        p = one_hot(labels, t2.shape[0]) if onehot is None else onehot
+        out = jax.lax.dot_general(
+            p, t2.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out = out.reshape(shape + (t2.shape[1],))
+    else:
+        idx = jnp.clip(labels, 0, t2.shape[0] - 1)
+        out = jnp.take(t2, idx, axis=0)
+        out = jnp.where((labels >= 0)[..., None], out, 0.0)
+    return out[..., 0] if squeeze else out
+
+
+def segment_sum(feats: jnp.ndarray, labels: jnp.ndarray, k: int, *, onehot=None):
+    """Per-cluster sums of feats [..., F] grouped by labels [...] -> [K, F].
+    Invalid labels (<0) are dropped."""
+    f = feats.reshape(-1, feats.shape[-1]).astype(jnp.float32)
+    if use_mxu():
+        p = one_hot(labels, k) if onehot is None else onehot
+        return jax.lax.dot_general(
+            p, f,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    flat = jnp.where(labels.reshape(-1) >= 0, labels.reshape(-1), k)
+    return jax.ops.segment_sum(f, flat, num_segments=k + 1)[:k]

@@ -116,16 +116,20 @@ def depth_enhance(depth, labels, color, window=7, ss=30.0, sc=50.0, sd=70.0):
                 dev /= cnt
             num = 0.0
             den = 0.0
-            sigma = sc
+            # the sigma recurrence compounds *0.3 per tap; run it in f32 like
+            # the device (everything else stays f64)
+            sigma = np.float32(sc)
+            adaptive = np.float32(5.0) * np.float32(dev) / np.float32(
+                wavg * wavg if wavg != 0.0 else 1.0
+            )
             for dy in range(-r, r + 1):
                 for dx in range(-r, r + 1):
                     yy, xx = y + dy, x + dx
                     if 0 <= yy < h and 0 <= xx < w and depth[yy, xx] > VALID:
-                        adaptive = 5.0 * dev / (wavg**2 if wavg != 0.0 else 1.0)
-                        if adaptive > sigma * 0.3:
+                        if adaptive > sigma * np.float32(0.3):
                             sigma = adaptive
                         else:
-                            sigma = sigma * 0.3
+                            sigma = sigma * np.float32(0.3)
                         cd = cf[y, x] - cf[yy, xx]
                         cfil = np.exp(-np.dot(cd, cd) / (2 * max(sigma, 1e-30) ** 2))
                         dfil = (
