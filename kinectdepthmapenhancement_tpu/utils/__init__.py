@@ -1,0 +1,3 @@
+from kinectdepthmapenhancement_tpu.utils import metrics, timing
+
+__all__ = ["metrics", "timing"]
