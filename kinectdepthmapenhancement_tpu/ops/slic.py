@@ -351,12 +351,12 @@ def _assign(
 
 
 def _window_mask(
-    labels: jnp.ndarray, clusters: Clusters, lo: int, hi: int
+    labels: jnp.ndarray, clusters: Clusters, lo: int, hi: int, oh=None
 ) -> jnp.ndarray:
     """Pixels within the reference's update window [lo, hi] (both dims)
     relative to their cluster's OLD mean pixel, and with a matching label."""
     h, w = labels.shape
-    cxy = tables.gather(clusters.xy.astype(jnp.float32), labels)
+    cxy = tables.gather(clusters.xy.astype(jnp.float32), labels, onehot=oh)
     v = jnp.arange(h, dtype=jnp.float32)[:, None]
     u = jnp.arange(w, dtype=jnp.float32)[None, :]
     dx = u - cxy[..., 0]
@@ -365,19 +365,24 @@ def _window_mask(
     return inside & (labels >= 0)
 
 
-def _segment_sum(feats: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray, k: int):
+def _segment_sum(
+    feats: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray, k: int, oh=None
+):
     """sum of feats[H,W,F] per cluster over masked pixels -> [K, F]."""
+    if oh is not None:
+        oh_masked = oh * mask.reshape(-1, 1).astype(jnp.float32)
+        return tables.segment_sum(feats, labels, k, onehot=oh_masked)
     masked = jnp.where(mask, labels, -1)
     return tables.segment_sum(feats, masked, k)
 
 
 def _update_sp(
-    labels, clusters, color_f, grid, window_range, h, w
+    oh, labels, clusters, color_f, grid, window_range, h, w
 ) -> Clusters:
     """Base-SLIC cluster update (analyzeClusters, SuperpixelSegmentation.cu:297-487)."""
     k = grid.num_clusters
     lo, hi = window_range
-    mask = _window_mask(labels, clusters, lo, hi)
+    mask = _window_mask(labels, clusters, lo, hi, oh)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
@@ -388,7 +393,7 @@ def _update_sp(
         ],
         axis=-1,
     )
-    sums = _segment_sum(feats, labels, mask, k)
+    sums = _segment_sum(feats, labels, mask, k, oh)
     size = sums[:, 5]
     nz = size > 0
     safe = jnp.maximum(size, 1.0)
@@ -405,7 +410,7 @@ def _update_sp(
 
 
 def _update_dasp(
-    labels, clusters, color_f, points, grid, window_range, h, w
+    oh, labels, clusters, color_f, points, grid, window_range, h, w
 ) -> Clusters:
     """DASP cluster update (analyzeClusters, DepthAdaptiveSuperpixel.cu:315-568).
 
@@ -413,7 +418,7 @@ def _update_dasp(
     pixel centre = 2-D centroid (reprojection branch dead, bug (c))."""
     k = grid.num_clusters
     lo, hi = window_range
-    mask = _window_mask(labels, clusters, lo, hi)
+    mask = _window_mask(labels, clusters, lo, hi, oh)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
@@ -427,7 +432,7 @@ def _update_dasp(
         ],
         axis=-1,
     )
-    sums = _segment_sum(feats, labels, mask, k)
+    sums = _segment_sum(feats, labels, mask, k, oh)
     size = sums[:, 5]
     nz = size > 0
     safe = jnp.maximum(size, 1.0)
@@ -447,7 +452,7 @@ def _update_dasp(
 
 
 def _update_nasp_analyze(
-    labels, clusters, color_f, points, normals, grid, window_range, h, w
+    oh, labels, clusters, color_f, points, normals, grid, window_range, h, w
 ) -> Clusters:
     """NASP plain stats (analyzeClusters_NASP, NormalAdaptiveSuperpixel.cu:356-685).
 
@@ -457,7 +462,7 @@ def _update_nasp_analyze(
     fallback dead, bug (c)).  Cluster normal = UNnormalised mean."""
     k = grid.num_clusters
     lo, hi = window_range
-    mask = _window_mask(labels, clusters, lo, hi)
+    mask = _window_mask(labels, clusters, lo, hi, oh)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
@@ -473,7 +478,7 @@ def _update_nasp_analyze(
         ],
         axis=-1,
     )
-    sums = _segment_sum(feats, labels, mask, k)
+    sums = _segment_sum(feats, labels, mask, k, oh)
     size = sums[:, 5]
     nz = size > 0
     safe = jnp.maximum(size, 1.0)
@@ -505,7 +510,7 @@ def _update_nasp_analyze(
 
 
 def _update_nasp_weighted(
-    labels, clusters, color_f, points, normals, grid, params, window_range, h, w
+    oh, labels, clusters, color_f, points, normals, grid, params, window_range, h, w
 ) -> Clusters:
     """NASP bilateral-weighted stats (calculateWeightedAverage,
     NormalAdaptiveSuperpixel.cu:687-1068).  Runs on the analyze-updated table.
@@ -516,7 +521,7 @@ def _update_nasp_weighted(
     (acos(clamped dot) < pi/3)."""
     k = grid.num_clusters
     lo, hi = window_range
-    mask = _window_mask(labels, clusters, lo, hi)
+    mask = _window_mask(labels, clusters, lo, hi, oh)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     g = tables.gather(
@@ -524,6 +529,7 @@ def _update_nasp_weighted(
             [clusters.rgb, clusters.xy.astype(jnp.float32), clusters.normal], -1
         ),
         labels,
+        onehot=oh,
     )
     c_rgb, c_xy, c_n = g[..., 0:3], g[..., 3:5], g[..., 5:8]
 
@@ -555,7 +561,7 @@ def _update_nasp_weighted(
         ],
         axis=-1,
     )
-    sums = _segment_sum(feats, labels, mask, k)
+    sums = _segment_sum(feats, labels, mask, k, oh)
     wsum = sums[:, 5]
     nz = wsum != 0.0
     safe = jnp.where(nz, wsum, 1.0)
@@ -651,18 +657,21 @@ def segment(
             labels, distance, clusters, color_f, points, normals,
             grid, params, variant, neighborhood, s_scale,
         )
+        # one one-hot of the fresh labels serves every gather/segment-sum of
+        # this iteration's cluster updates (370 MB each at 640x480 otherwise)
+        oh = tables.one_hot(labels, grid.num_clusters) if tables.use_mxu() else None
         if variant == "sp":
-            clusters = _update_sp(labels, clusters, color_f, grid, window_range, h, w)
+            clusters = _update_sp(oh, labels, clusters, color_f, grid, window_range, h, w)
         elif variant == "dasp":
             clusters = _update_dasp(
-                labels, clusters, color_f, points, grid, window_range, h, w
+                oh, labels, clusters, color_f, points, grid, window_range, h, w
             )
         else:
             clusters = _update_nasp_analyze(
-                labels, clusters, color_f, points, normals, grid, window_range, h, w
+                oh, labels, clusters, color_f, points, normals, grid, window_range, h, w
             )
             clusters = _update_nasp_weighted(
-                labels, clusters, color_f, points, normals, grid, params,
+                oh, labels, clusters, color_f, points, normals, grid, params,
                 window_range, h, w,
             )
         return labels, distance, clusters
