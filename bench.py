@@ -35,7 +35,7 @@ def main() -> None:
     cfg = KDEConfig()
 
     c = jnp.asarray(color)
-    batch = 16
+    batch = 4
 
     def make_args(i):
         # unique contents per timed call: defeats the runtime's result cache

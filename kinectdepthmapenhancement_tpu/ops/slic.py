@@ -264,35 +264,42 @@ def _assign(
 
     offs = [(dy, dx) for dy in range(-r, r) for dx in range(-r, r)]
     k = grid.num_clusters
-    fields = jnp.concatenate(
-        [
-            clusters.rgb,                       # 0:3
-            clusters.xy.astype(jnp.float32),    # 3:5
-            clusters.center,                    # 5:8
-            clusters.normal,                    # 8:11
-        ],
-        axis=-1,
-    )
+    # per-variant field layout: rgb(3) + xy(2) [+ center z(1)] [+ normal(3)]
+    cols = [clusters.rgb, clusters.xy.astype(jnp.float32)]
+    if variant != "sp":
+        cols.append(clusters.center[:, 2:3])
+    if variant == "nasp":
+        cols.append(clusters.normal)
+    fields = jnp.concatenate(cols, axis=-1)
     nf = fields.shape[1]
 
     if tables.use_mxu():
-        # bulk gather: rid == lab0 + (dy*cols + dx) for in-grid lanes, so
-        # gathering at every offset is ONE one-hot matmul against the
-        # horizontally concatenated row-shifted tables (per-pixel gathers
-        # serialize on TPU; this runs on the MXU).
-        shifted = []
-        for dy, dx in offs:
-            c = dy * grid.cols + dx
+        # bulk gather: rid == lab0 + (dy*cols + dx) for in-grid lanes, so a
+        # group of offsets is ONE one-hot matmul against the horizontally
+        # concatenated row-shifted tables (per-pixel gathers serialize on
+        # TPU; this runs on the MXU).  Offsets are CHUNKED so the gathered
+        # intermediate stays bounded (~[H, W, chunk*nf], reused across
+        # chunks by the allocator) instead of one [H, W, n_off*nf] monster.
+        chunk = max(1, 128 // nf)
+        oh_lab0 = tables.one_hot(lab0, k)
+        gathered_chunks = {}
+
+        def shifted_table(c):
             if c >= 0:
-                sh = jnp.pad(fields[c:], ((0, c), (0, 0)))
-            else:
-                sh = jnp.pad(fields[:c], ((-c, 0), (0, 0)))
-            shifted.append(sh)
-        big = jnp.concatenate(shifted, axis=-1)          # [K, n_off * nf]
-        gathered_all = tables.gather(big, lab0)          # [H, W, n_off * nf]
+                return jnp.pad(fields[c:], ((0, c), (0, 0)))
+            return jnp.pad(fields[:c], ((-c, 0), (0, 0)))
 
         def gathered(i, rid, in_grid):
-            return gathered_all[..., i * nf : (i + 1) * nf]
+            ci = i // chunk
+            if ci not in gathered_chunks:
+                group = offs[ci * chunk : (ci + 1) * chunk]
+                big = jnp.concatenate(
+                    [shifted_table(dy * grid.cols + dx) for dy, dx in group],
+                    axis=-1,
+                )
+                gathered_chunks[ci] = tables.gather(big, lab0, onehot=oh_lab0)
+            j = i % chunk
+            return gathered_chunks[ci][..., j * nf : (j + 1) * nf]
     else:
 
         def gathered(i, rid, in_grid):
@@ -313,12 +320,12 @@ def _assign(
         if variant == "sp":
             dist = cd * w_col + pd * w_spa
         else:
-            c_cz = g[..., 7]
+            c_cz = g[..., 5]
             zpair = (z > VALID_DEPTH_MM) & (c_cz > VALID_DEPTH_MM)
             dd = jnp.where(zpair, jnp.abs(z - c_cz), 0.0)
             dist = cd * w_col + pd * w_spa + dd * w_dep
             if variant == "nasp":
-                c_n = g[..., 8:11]
+                c_n = g[..., 6:9]
                 npair = (
                     zpair
                     & _normal_valid_or(normals)
