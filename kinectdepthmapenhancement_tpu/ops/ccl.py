@@ -66,7 +66,8 @@ def _adjacency(labels: jnp.ndarray, k: int) -> jnp.ndarray:
         pa = tables.one_hot(pairs_a, k)
         pb = tables.one_hot(pairs_b, k)
         counts = jax.lax.dot_general(
-            pa, pb, dimension_numbers=(((0,), (0,)), ((), ()))
+            pa, pb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return (counts + counts.T) > 0.0
     la = jnp.where(pairs_a >= 0, pairs_a, k)

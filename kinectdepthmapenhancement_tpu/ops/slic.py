@@ -377,7 +377,7 @@ def _segment_sum(
 ):
     """sum of feats[H,W,F] per cluster over masked pixels -> [K, F]."""
     if oh is not None:
-        oh_masked = oh * mask.reshape(-1, 1).astype(jnp.float32)
+        oh_masked = oh * mask.reshape(-1, 1).astype(oh.dtype)
         return tables.segment_sum(feats, labels, k, onehot=oh_masked)
     masked = jnp.where(mask, labels, -1)
     return tables.segment_sum(feats, masked, k)

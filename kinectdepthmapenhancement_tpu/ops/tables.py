@@ -43,12 +43,38 @@ def use_mxu() -> bool:
 
 
 def one_hot(labels: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[N, K] f32 one-hot of flattened labels; invalid (<0 or >=k) rows are
-    all zero."""
+    """[N, K] bf16 one-hot of flattened labels; invalid (<0 or >=k) rows are
+    all zero.  0/1 are exact in bf16 and the matrix is the framework's
+    single biggest intermediate, so halving its bytes matters."""
     flat = labels.reshape(-1)
     return (flat[:, None] == jnp.arange(k, dtype=flat.dtype)[None, :]).astype(
-        jnp.float32
+        jnp.bfloat16
     )
+
+
+def _split3(x: jnp.ndarray):
+    """f32 -> three bf16 parts whose f32 sum reconstructs x exactly
+    (8+8+8 mantissa bits cover f32's 24)."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - h2.astype(jnp.float32)
+    h3 = r2.astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def _dot(p: jnp.ndarray, t: jnp.ndarray, contract_p: int) -> jnp.ndarray:
+    """sum_i of exact bf16-split matmuls: p (bf16 0/1) x t (f32) -> f32.
+    contract_p: which axis of p contracts (1 for gather, 0 for segment sum)."""
+    dn = (((contract_p,), (0,)), ((), ()))
+    parts = _split3(t)
+    out = None
+    for part in parts:
+        o = jax.lax.dot_general(
+            p, part, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        out = o if out is None else out + o
+    return out
 
 
 def gather(table: jnp.ndarray, labels: jnp.ndarray, *, onehot: Optional[jnp.ndarray] = None):
@@ -59,11 +85,7 @@ def gather(table: jnp.ndarray, labels: jnp.ndarray, *, onehot: Optional[jnp.ndar
     t2 = table[:, None] if squeeze else table
     if use_mxu():
         p = one_hot(labels, t2.shape[0]) if onehot is None else onehot
-        out = jax.lax.dot_general(
-            p, t2.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        out = _dot(p, t2.astype(jnp.float32), contract_p=1)
         out = out.reshape(shape + (t2.shape[1],))
     else:
         idx = jnp.clip(labels, 0, t2.shape[0] - 1)
@@ -74,14 +96,14 @@ def gather(table: jnp.ndarray, labels: jnp.ndarray, *, onehot: Optional[jnp.ndar
 
 def segment_sum(feats: jnp.ndarray, labels: jnp.ndarray, k: int, *, onehot=None):
     """Per-cluster sums of feats [..., F] grouped by labels [...] -> [K, F].
-    Invalid labels (<0) are dropped."""
+    Invalid labels (<0) are dropped.
+
+    MXU path: P.T (bf16 one-hot) x feats, with feats split into three exact
+    bf16 parts — per-part products are exact, accumulation is f32, matching
+    the reference path to f32 rounding."""
     f = feats.reshape(-1, feats.shape[-1]).astype(jnp.float32)
     if use_mxu():
         p = one_hot(labels, k) if onehot is None else onehot
-        return jax.lax.dot_general(
-            p, f,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        return _dot(p, f, contract_p=0)
     flat = jnp.where(labels.reshape(-1) >= 0, labels.reshape(-1), k)
     return jax.ops.segment_sum(f, flat, num_segments=k + 1)[:k]
