@@ -211,24 +211,25 @@ def smallest_eigenvector(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # ------------------------------------------------------------------ normals
 
 
-def _clamped(arr: jnp.ndarray, yy, xx):
-    h, w = arr.shape[:2]
-    return arr[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
-
-
 def _cross_product_normal(vertices_m: jnp.ndarray):
     """Shared 1-pixel cross-product core of BILATERAL / computeRestNormal.
 
     Returns (n_raw [H,W,3] normalised by -|n| where |n|>0 else raw cross,
     d_h, d_v, center_z, right-or-left step direction handled per reference).
+
+    The data-dependent +-1 neighbour step is a select between the two
+    edge-clamped shifted images (per-pixel gathers serialize on TPU).
     """
     h, w = vertices_m.shape[:2]
-    v = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
-    u = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
-    z_right = _clamped(vertices_m, v, u + 1)[..., 2]
-    r = jnp.where(z_right == 0.0, -1, 1)
-    ph01 = _clamped(vertices_m, v, u + r)
-    pv01 = _clamped(vertices_m, v + r, u)
+    vpad = jnp.pad(vertices_m, [(1, 1), (1, 1), (0, 0)], mode="edge")
+    p_r = lax.slice(vpad, (1, 2, 0), (1 + h, 2 + w, 3))
+    p_l = lax.slice(vpad, (1, 0, 0), (1 + h, w, 3))
+    p_d = lax.slice(vpad, (2, 1, 0), (2 + h, 1 + w, 3))
+    p_u = lax.slice(vpad, (0, 1, 0), (h, 1 + w, 3))
+    z_right = p_r[..., 2]
+    step_neg = (z_right == 0.0)[..., None]
+    ph01 = jnp.where(step_neg, p_l, p_r)
+    pv01 = jnp.where(step_neg, p_u, p_d)
     p0 = vertices_m
     v_h = ph01 - p0
     v_v = pv01 - p0
@@ -414,13 +415,25 @@ def cm_normals(
     )
     mpad = jnp.pad(valid_f, MAX_RECT)
 
-    def direct_cov(s):
-        r2 = s >> 1
+    def direct_cov_all():
+        """Incremental direct accumulation: the reference windows are nested
+        (window(s) contains window(s-1)), so all direct sizes share ONE pass
+        over the largest window — each tap is accumulated exactly once and a
+        (cnt, cov) snapshot is taken at every size (64 taps total instead of
+        sum(s^2) = 203)."""
         cnt = jnp.zeros((h, w), jnp.float32)
         s1 = jnp.zeros((h, w, 3), jnp.float32)
         s2 = jnp.zeros((h, w, 6), jnp.float32)
-        for dy in range(-r2, -r2 + s):
-            for dx in range(-r2, -r2 + s):
+        snaps = {}
+        prev: set = set()
+        for s in range(2, DIRECT_MAX + 1):
+            r2 = s >> 1
+            taps = {
+                (dy, dx)
+                for dy in range(-r2, -r2 + s)
+                for dx in range(-r2, -r2 + s)
+            }
+            for dy, dx in sorted(taps - prev):
                 pv = _edge_shift(vpad2, dy, dx, MAX_RECT, h, w)
                 m = _edge_shift(mpad, dy, dx, MAX_RECT, h, w)
                 res = (pv - a3) * m[..., None]
@@ -430,16 +443,18 @@ def cm_normals(
                 s2 = s2 + jnp.stack(
                     [rx * rx, rx * ry, rx * rz, ry * ry, ry * rz, rz * rz], -1
                 )
-        n_s = jnp.maximum(cnt, 1.0)
-        outer = jnp.stack(
-            [
-                s1[..., 0] * s1[..., 0], s1[..., 0] * s1[..., 1],
-                s1[..., 0] * s1[..., 2], s1[..., 1] * s1[..., 1],
-                s1[..., 1] * s1[..., 2], s1[..., 2] * s1[..., 2],
-            ],
-            -1,
-        )
-        return cnt, s2 - outer / n_s[..., None]
+            prev = taps
+            n_s = jnp.maximum(cnt, 1.0)
+            outer = jnp.stack(
+                [
+                    s1[..., 0] * s1[..., 0], s1[..., 0] * s1[..., 1],
+                    s1[..., 0] * s1[..., 2], s1[..., 1] * s1[..., 1],
+                    s1[..., 1] * s1[..., 2], s1[..., 2] * s1[..., 2],
+                ],
+                -1,
+            )
+            snaps[s] = (cnt, s2 - outer / n_s[..., None])
+        return snaps
 
     def integral_cov(s):
         r2 = s >> 1
@@ -470,8 +485,10 @@ def cm_normals(
         )
         return cont, ents
 
+    direct_snaps = direct_cov_all()
+
     def boxes(s):
-        return direct_cov(s) if s <= DIRECT_MAX else integral_cov(s)
+        return direct_snaps[s] if s <= DIRECT_MAX else integral_cov(s)
 
     cont, ent = _per_size(rect, list(range(2, MAX_RECT + 1)), boxes)
     c_xx, c_xy, c_xz = ent[..., 0], ent[..., 1], ent[..., 2]
