@@ -15,6 +15,19 @@ cluster reducing a window) becomes:
     the old cluster centre do not contribute), computed as one-hot matmul /
     segment_sum on the flattened image.
 
+TPU fast paths (semantics-preserving):
+  * first iteration: labels ARE the grid init, so a pixel's candidate
+    clusters are a pure function of its grid cell — candidate features are
+    BROADCAST per cell (zero gathers), and the post-assignment labels are
+    drawn from the cell's (2r)^2-candidate set, so update gathers/segment
+    sums route through a cell-local one-hot [rows, cols, P, n] instead of a
+    [H*W, K] one (_CellIndex; ~K/n times less one-hot traffic and matmuls);
+  * seed gradients are only consumed inside the window x window seed blocks
+    around the grid centres, and the 11x11 gradient support of those blocks
+    never leaves a cell when (window/2 + 5) fits inside half a cell — so the
+    gradient is computed on the [rows*(window+10), cols*(window+10)]
+    sub-grid (6-20%% of the image) and results are bit-identical.
+
 Distance formulas are replicated exactly per variant:
   SP   (SuperpixelSegmentation.cu:197-206):
        cd * sc/(ss+sc) + pd * ss/(ss+sc),  pd = |dpix| * S^2
@@ -46,6 +59,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from kinectdepthmapenhancement_tpu.core.buffer2d import VALID_DEPTH_MM
 from kinectdepthmapenhancement_tpu.core.config import GridParams, SLICParams
@@ -53,6 +67,21 @@ from kinectdepthmapenhancement_tpu.ops import tables
 
 INIT_DISTANCE = 999999.9
 INVALID_NORMAL = -1.0
+
+_GRAD_MARGIN = 5  # the seed gradient's 11x11 window half-width
+
+_FORCE_CELL: Optional[bool] = None  # None | True | False (tests pin a path)
+
+
+def force_cell(mode: Optional[bool]) -> None:
+    global _FORCE_CELL
+    _FORCE_CELL = mode
+
+
+def _use_cell() -> bool:
+    if _FORCE_CELL is not None:
+        return _FORCE_CELL
+    return tables.use_mxu()
 
 
 class Clusters(NamedTuple):
@@ -97,14 +126,136 @@ def _normal_valid_and(n: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(n != INVALID_NORMAL, axis=-1)
 
 
+# -------------------------------------------------------------- label index
+
+
+class _GlobalIndex:
+    """Per-pixel gathers / segment sums keyed by the full [K] cluster id
+    space — one-hot matmuls on the MXU, jnp.take/segment_sum on CPU."""
+
+    def __init__(self, labels: jnp.ndarray, k: int):
+        self.labels = labels
+        self.k = k
+        self.oh = tables.one_hot(labels, k) if tables.use_mxu() else None
+
+    def gather(self, table: jnp.ndarray) -> jnp.ndarray:
+        return tables.gather(table, self.labels, onehot=self.oh)
+
+    def segment_sum(self, feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        if self.oh is not None:
+            ohm = self.oh * mask.reshape(-1, 1).astype(self.oh.dtype)
+            return tables.segment_sum(feats, self.labels, self.k, onehot=ohm)
+        masked = jnp.where(mask, self.labels, -1)
+        return tables.segment_sum(feats, masked, self.k)
+
+
+class _CellIndex:
+    """Cell-local label index.  Valid ONLY when every label is either -1 or
+    drawn from its pixel's cell-grid (2r)^2 neighbourhood — which holds after
+    the FIRST assignment sweep (whose candidate set is exactly that).
+
+    gather:      out = sum_n oh[r,c,p,n] * cand_table[r,c,n,:]
+    segment sum: per-cell partials oh^T @ feats -> [r,c,n,F], then a tiny
+                 [r*c*n, K] one-hot matmul folds candidates back to clusters.
+    All products are exact (bf16 0/1 one-hots x 3-way bf16-split f32 tables).
+    """
+
+    def __init__(self, labels: jnp.ndarray, grid: GridParams, r: int, h: int, w: int):
+        rows, cols = grid.rows, grid.cols
+        self.rows, self.cols = rows, cols
+        self.k = grid.num_clusters
+        self.h, self.w = h, w
+        self.bs_y, self.bs_x = h // rows, w // cols
+        offs = [(dy, dx) for dy in range(-r, r) for dx in range(-r, r)]
+        self.n = len(offs)
+        cy = jnp.arange(rows, dtype=jnp.int32)[:, None, None]
+        cx = jnp.arange(cols, dtype=jnp.int32)[None, :, None]
+        dy = jnp.asarray([o[0] for o in offs], jnp.int32)[None, None, :]
+        dx = jnp.asarray([o[1] for o in offs], jnp.int32)[None, None, :]
+        ny, nx = cy + dy, cx + dx
+        in_grid = (ny >= 0) & (ny < rows) & (nx >= 0) & (nx < cols)
+        self.cand = jnp.where(in_grid, ny * cols + nx, -9)  # [rows, cols, n]
+        lb = self._to_cells(labels[..., None].astype(jnp.int32))[..., 0]
+        self.oh = (lb[..., None] == self.cand[:, :, None, :]).astype(jnp.bfloat16)
+        self.cand_flat = self.cand.reshape(-1)
+        self.oh_k = (
+            tables.one_hot(self.cand_flat, self.k) if tables.use_mxu() else None
+        )
+
+    def _to_cells(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[H, W, F] -> [rows, cols, P, F]  (P = cell pixel count)."""
+        f = x.shape[-1]
+        return (
+            x.reshape(self.rows, self.bs_y, self.cols, self.bs_x, f)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(self.rows, self.cols, self.bs_y * self.bs_x, f)
+        )
+
+    def _from_cells(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[rows, cols, P, F] -> [H, W, F]."""
+        f = x.shape[-1]
+        return (
+            x.reshape(self.rows, self.cols, self.bs_y, self.bs_x, f)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(self.h, self.w, f)
+        )
+
+    def _cand_table(self, table: jnp.ndarray) -> jnp.ndarray:
+        """[K, F] -> [rows, cols, n, F] candidate tables (invalid rows 0)."""
+        g = tables.gather(table, self.cand_flat, onehot=self.oh_k)
+        return g.reshape(self.rows, self.cols, self.n, table.shape[-1])
+
+    def gather(self, table: jnp.ndarray) -> jnp.ndarray:
+        ct = self._cand_table(table)
+        out = None
+        for part in tables.split3(ct):
+            o = lax.dot_general(
+                self.oh, part,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            )
+            out = o if out is None else out + o
+        return self._from_cells(out)
+
+    def segment_sum(self, feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        fb = self._to_cells(
+            (feats * mask[..., None]).astype(jnp.float32)
+        )
+        part = None
+        for p in tables.split3(fb):
+            o = lax.dot_general(
+                self.oh, p,
+                dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            )
+            part = o if part is None else part + o
+        part_flat = part.reshape(-1, feats.shape[-1])
+        return tables.segment_sum(
+            part_flat, self.cand_flat, self.k, onehot=self.oh_k
+        )
+
+
+def _cell_ok(grid: GridParams, h: int, w: int) -> bool:
+    return h % grid.rows == 0 and w % grid.cols == 0
+
+
+def cell_index(
+    labels: jnp.ndarray, grid: GridParams, neighborhood: int
+) -> Optional[_CellIndex]:
+    """Public constructor for downstream ops (CCL) that consume single-
+    iteration SLIC labels; returns None when the cell path doesn't apply."""
+    h, w = labels.shape
+    if not (_use_cell() and _cell_ok(grid, h, w)):
+        return None
+    return _CellIndex(labels, grid, neighborhood // 2, h, w)
+
+
 # ----------------------------------------------------------------- seeding
 
 
 def _edge_shift(padded: jnp.ndarray, dy: int, dx: int, r: int, h: int, w: int):
     """Slice view of an edge-padded array displaced by (dy, dx) — clamped
     indexing as pad+slice (pure VPU; per-pixel gathers serialize on TPU)."""
-    from jax import lax
-
     start = [r + dy, r + dx] + [0] * (padded.ndim - 2)
     sizes = [h, w] + list(padded.shape[2:])
     return lax.slice(padded, start, [s + z for s, z in zip(start, sizes)])
@@ -149,6 +300,66 @@ def _nasp_gradient(color_f: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(count > 0, sum_g / jnp.maximum(count, 1.0), jnp.inf)
 
 
+def _subgrid_ok(grid: GridParams, h: int, w: int, window: int) -> bool:
+    """True when every seed window's gradient support stays inside its cell,
+    so the gradient can be computed on the seed sub-grid alone."""
+    if not _cell_ok(grid, h, w):
+        return False
+    ws_x, ws_y = _grid_geometry(grid, h, w)
+    r = window // 2
+    m = _GRAD_MARGIN
+    return (
+        ws_y // 2 - r - m >= 0
+        and ws_y // 2 + r - 1 + m <= ws_y - 1
+        and ws_x // 2 - r - m >= 0
+        and ws_x // 2 + r - 1 + m <= ws_x - 1
+    )
+
+
+def _subgrid_extract(
+    arr: jnp.ndarray, grid: GridParams, h: int, w: int, window: int
+) -> jnp.ndarray:
+    """Pure reshape/slice extraction of the per-cell seed bands:
+    [H, W, C] -> [rows*(window+2m), cols*(window+2m), C]."""
+    ws_x, ws_y = _grid_geometry(grid, h, w)
+    r = window // 2
+    m = _GRAD_MARGIN
+    blk = window + 2 * m
+    y0 = ws_y // 2 - r - m
+    x0 = ws_x // 2 - r - m
+    c = arr.shape[-1]
+    sub = arr.reshape(grid.rows, ws_y, w, c)[:, y0 : y0 + blk]
+    sub = sub.reshape(grid.rows * blk, grid.cols, ws_x, c)[:, :, x0 : x0 + blk]
+    return sub.reshape(grid.rows * blk, grid.cols * blk, c)
+
+
+def _sample_seeds_subgrid(
+    gradient_sub: jnp.ndarray, grid: GridParams, h: int, w: int, window: int
+) -> jnp.ndarray:
+    """sample_seeds on the extracted sub-grid: the seed windows sit at the
+    centre of each (window+2m) block; ties and ordering identical."""
+    ws_x, ws_y = _grid_geometry(grid, h, w)
+    r = window // 2
+    m = _GRAD_MARGIN
+    blk = window + 2 * m
+    g_blocks = (
+        gradient_sub.reshape(grid.rows, blk, grid.cols, blk)[
+            :, m : m + window, :, m : m + window
+        ]
+        .transpose(0, 2, 1, 3)
+        .reshape(grid.rows, grid.cols, window * window)
+    )
+    best = jnp.argmin(g_blocks, axis=-1)
+    offs = jnp.arange(window, dtype=jnp.int32) - r
+    off_y = offs[best // window]
+    off_x = offs[best % window]
+    cy = jnp.arange(grid.rows, dtype=jnp.int32)[:, None] * ws_y + ws_y // 2
+    cx = jnp.arange(grid.cols, dtype=jnp.int32)[None, :] * ws_x + ws_x // 2
+    seed_y = (cy + off_y).reshape(-1)
+    seed_x = (cx + off_x).reshape(-1)
+    return jnp.stack([seed_x, seed_y], axis=-1).astype(jnp.int32)
+
+
 def sample_seeds(
     gradient: jnp.ndarray,
     grid: GridParams,
@@ -178,6 +389,32 @@ def sample_seeds(
     seed_y = jnp.take_along_axis(yy.reshape(grid.rows, grid.cols, -1), best, -1)[..., 0]
     seed_x = jnp.take_along_axis(xx.reshape(grid.rows, grid.cols, -1), best, -1)[..., 0]
     return jnp.stack([seed_x.reshape(-1), seed_y.reshape(-1)], axis=-1).astype(jnp.int32)
+
+
+def _compute_seeds(
+    color_f: jnp.ndarray,
+    normals: Optional[jnp.ndarray],
+    grid: GridParams,
+    h: int,
+    w: int,
+    window: int,
+    variant: str,
+) -> jnp.ndarray:
+    """Seed sampling; on the sub-grid fast path the gradient is evaluated
+    only where the seed windows can read it (bit-identical by construction)."""
+    if _subgrid_ok(grid, h, w, window):
+        csub = _subgrid_extract(color_f, grid, h, w, window)
+        if variant == "nasp":
+            nsub = _subgrid_extract(normals, grid, h, w, window)
+            gsub = _nasp_gradient(csub, nsub)
+        else:
+            gsub = _color_gradient(csub)
+        return _sample_seeds_subgrid(gsub, grid, h, w, window)
+    if variant == "nasp":
+        gradient = _nasp_gradient(color_f, normals)
+    else:
+        gradient = _color_gradient(color_f)
+    return sample_seeds(gradient, grid, h, w, window)
 
 
 def init_clusters(
@@ -226,8 +463,13 @@ def _assign(
     variant: str,
     neighborhood: int,
     s_scale: float,
+    cell_fast: bool = False,
 ):
-    """One label-assignment sweep (calculate_LD / calculateLD / calculateLD_NASP)."""
+    """One label-assignment sweep (calculate_LD / calculateLD / calculateLD_NASP).
+
+    cell_fast: labels are the grid init (first iteration) and the image
+    divides evenly — candidate features broadcast per cell, zero gathers.
+    """
     h, w = labels.shape
     r = neighborhood // 2
     v = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -273,7 +515,22 @@ def _assign(
     fields = jnp.concatenate(cols, axis=-1)
     nf = fields.shape[1]
 
-    if tables.use_mxu():
+    if cell_fast:
+        # labels == grid init: a cell's pixels share the candidate cluster,
+        # so candidate features broadcast per cell (no per-pixel gathers)
+        rows, cls = grid.rows, grid.cols
+        bs_y, bs_x = h // rows, w // cls
+        gf = jnp.pad(fields.reshape(rows, cls, nf), ((r, r), (r, r), (0, 0)))
+
+        def gathered(i, rid, in_grid):
+            dy, dx = offs[i]
+            cell = lax.slice(
+                gf, (r + dy, r + dx, 0), (r + dy + rows, r + dx + cls, nf)
+            )
+            return jnp.broadcast_to(
+                cell[:, None, :, None, :], (rows, bs_y, cls, bs_x, nf)
+            ).reshape(h, w, nf)
+    elif tables.use_mxu():
         # bulk gather: rid == lab0 + (dy*cols + dx) for in-grid lanes, so a
         # group of offsets is ONE one-hot matmul against the horizontally
         # concatenated row-shifted tables (per-pixel gathers serialize on
@@ -358,12 +615,12 @@ def _assign(
 
 
 def _window_mask(
-    labels: jnp.ndarray, clusters: Clusters, lo: int, hi: int, oh=None
+    idx, labels: jnp.ndarray, clusters: Clusters, lo: int, hi: int
 ) -> jnp.ndarray:
     """Pixels within the reference's update window [lo, hi] (both dims)
     relative to their cluster's OLD mean pixel, and with a matching label."""
     h, w = labels.shape
-    cxy = tables.gather(clusters.xy.astype(jnp.float32), labels, onehot=oh)
+    cxy = idx.gather(clusters.xy.astype(jnp.float32))
     v = jnp.arange(h, dtype=jnp.float32)[:, None]
     u = jnp.arange(w, dtype=jnp.float32)[None, :]
     dx = u - cxy[..., 0]
@@ -372,24 +629,12 @@ def _window_mask(
     return inside & (labels >= 0)
 
 
-def _segment_sum(
-    feats: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray, k: int, oh=None
-):
-    """sum of feats[H,W,F] per cluster over masked pixels -> [K, F]."""
-    if oh is not None:
-        oh_masked = oh * mask.reshape(-1, 1).astype(oh.dtype)
-        return tables.segment_sum(feats, labels, k, onehot=oh_masked)
-    masked = jnp.where(mask, labels, -1)
-    return tables.segment_sum(feats, masked, k)
-
-
 def _update_sp(
-    oh, labels, clusters, color_f, grid, window_range, h, w
+    idx, labels, clusters, color_f, grid, window_range, h, w
 ) -> Clusters:
     """Base-SLIC cluster update (analyzeClusters, SuperpixelSegmentation.cu:297-487)."""
-    k = grid.num_clusters
     lo, hi = window_range
-    mask = _window_mask(labels, clusters, lo, hi, oh)
+    mask = _window_mask(idx, labels, clusters, lo, hi)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
@@ -400,7 +645,7 @@ def _update_sp(
         ],
         axis=-1,
     )
-    sums = _segment_sum(feats, labels, mask, k, oh)
+    sums = idx.segment_sum(feats, mask)
     size = sums[:, 5]
     nz = size > 0
     safe = jnp.maximum(size, 1.0)
@@ -417,15 +662,14 @@ def _update_sp(
 
 
 def _update_dasp(
-    oh, labels, clusters, color_f, points, grid, window_range, h, w
+    idx, labels, clusters, color_f, points, grid, window_range, h, w
 ) -> Clusters:
     """DASP cluster update (analyzeClusters, DepthAdaptiveSuperpixel.cu:315-568).
 
     3-D centre = sum of ALL labelled points / count of valid (z>50) points;
     pixel centre = 2-D centroid (reprojection branch dead, bug (c))."""
-    k = grid.num_clusters
     lo, hi = window_range
-    mask = _window_mask(labels, clusters, lo, hi, oh)
+    mask = _window_mask(idx, labels, clusters, lo, hi)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
@@ -439,7 +683,7 @@ def _update_dasp(
         ],
         axis=-1,
     )
-    sums = _segment_sum(feats, labels, mask, k, oh)
+    sums = idx.segment_sum(feats, mask)
     size = sums[:, 5]
     nz = size > 0
     safe = jnp.maximum(size, 1.0)
@@ -459,7 +703,7 @@ def _update_dasp(
 
 
 def _update_nasp_analyze(
-    oh, labels, clusters, color_f, points, normals, grid, window_range, h, w
+    idx, labels, clusters, color_f, points, normals, grid, window_range, h, w
 ) -> Clusters:
     """NASP plain stats (analyzeClusters_NASP, NormalAdaptiveSuperpixel.cu:356-685).
 
@@ -467,9 +711,8 @@ def _update_nasp_analyze(
     (OR-validity).  Centre = the 3-D point AT the 2-D centroid pixel when that
     pixel has valid depth, else the mean of accepted points (reprojection
     fallback dead, bug (c)).  Cluster normal = UNnormalised mean."""
-    k = grid.num_clusters
     lo, hi = window_range
-    mask = _window_mask(labels, clusters, lo, hi, oh)
+    mask = _window_mask(idx, labels, clusters, lo, hi)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     ones = jnp.ones((h, w), jnp.float32)
@@ -485,7 +728,7 @@ def _update_nasp_analyze(
         ],
         axis=-1,
     )
-    sums = _segment_sum(feats, labels, mask, k, oh)
+    sums = idx.segment_sum(feats, mask)
     size = sums[:, 5]
     nz = size > 0
     safe = jnp.maximum(size, 1.0)
@@ -517,7 +760,7 @@ def _update_nasp_analyze(
 
 
 def _update_nasp_weighted(
-    oh, labels, clusters, color_f, points, normals, grid, params, window_range, h, w
+    idx, labels, clusters, color_f, points, normals, grid, params, window_range, h, w
 ) -> Clusters:
     """NASP bilateral-weighted stats (calculateWeightedAverage,
     NormalAdaptiveSuperpixel.cu:687-1068).  Runs on the analyze-updated table.
@@ -526,17 +769,14 @@ def _update_nasp_weighted(
     against the cluster's mean colour / pixel centre; 3-D/normal sums accept
     pixels with z>50, valid normal, and dot(n, n_cluster) in (0.5, 1]
     (acos(clamped dot) < pi/3)."""
-    k = grid.num_clusters
     lo, hi = window_range
-    mask = _window_mask(labels, clusters, lo, hi, oh)
+    mask = _window_mask(idx, labels, clusters, lo, hi)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
-    g = tables.gather(
+    g = idx.gather(
         jnp.concatenate(
             [clusters.rgb, clusters.xy.astype(jnp.float32), clusters.normal], -1
-        ),
-        labels,
-        onehot=oh,
+        )
     )
     c_rgb, c_xy, c_n = g[..., 0:3], g[..., 3:5], g[..., 5:8]
 
@@ -568,7 +808,7 @@ def _update_nasp_weighted(
         ],
         axis=-1,
     )
-    sums = _segment_sum(feats, labels, mask, k, oh)
+    sums = idx.segment_sum(feats, mask)
     wsum = sums[:, 5]
     nz = wsum != 0.0
     safe = jnp.where(nz, wsum, 1.0)
@@ -645,11 +885,7 @@ def segment(
     window_range = (-8 * rp, 8 * rp - 1)
 
     if seeds is None:
-        if variant == "nasp":
-            gradient = _nasp_gradient(color_f, normals)
-        else:
-            gradient = _color_gradient(color_f)
-        seeds = sample_seeds(gradient, grid, h, w, seed_window)
+        seeds = _compute_seeds(color_f, normals, grid, h, w, seed_window, variant)
     else:
         seeds = jnp.asarray(seeds, jnp.int32)
     clusters = init_clusters(
@@ -658,34 +894,46 @@ def segment(
     labels = init_labels(grid, h, w)
     distance = jnp.full((h, w), INIT_DISTANCE, jnp.float32)
 
-    def iteration(_, state):
+    cell_fast = _use_cell() and _cell_ok(grid, h, w)
+
+    def iteration(state, first: bool):
         labels, distance, clusters = state
         labels, distance = _assign(
             labels, distance, clusters, color_f, points, normals,
             grid, params, variant, neighborhood, s_scale,
+            cell_fast=first and cell_fast,
         )
-        # one one-hot of the fresh labels serves every gather/segment-sum of
-        # this iteration's cluster updates (370 MB each at 640x480 otherwise)
-        oh = tables.one_hot(labels, grid.num_clusters) if tables.use_mxu() else None
+        # one label index serves every gather/segment-sum of this iteration's
+        # cluster updates; after the first sweep labels come from the cell's
+        # candidate set, so the index is cell-local there
+        if first and cell_fast:
+            idx = _CellIndex(labels, grid, neighborhood // 2, h, w)
+        else:
+            idx = _GlobalIndex(labels, grid.num_clusters)
         if variant == "sp":
-            clusters = _update_sp(oh, labels, clusters, color_f, grid, window_range, h, w)
+            clusters = _update_sp(idx, labels, clusters, color_f, grid, window_range, h, w)
         elif variant == "dasp":
             clusters = _update_dasp(
-                oh, labels, clusters, color_f, points, grid, window_range, h, w
+                idx, labels, clusters, color_f, points, grid, window_range, h, w
             )
         else:
             clusters = _update_nasp_analyze(
-                oh, labels, clusters, color_f, points, normals, grid, window_range, h, w
+                idx, labels, clusters, color_f, points, normals, grid, window_range, h, w
             )
             clusters = _update_nasp_weighted(
-                oh, labels, clusters, color_f, points, normals, grid, params,
+                idx, labels, clusters, color_f, points, normals, grid, params,
                 window_range, h, w,
             )
         return labels, distance, clusters
 
-    # the iteration body is traced once (lax.fori_loop): unrolling the
-    # reference's 5-iteration pipelines explodes XLA compile time
-    labels, distance, clusters = jax.lax.fori_loop(
-        0, params.iterations, iteration, (labels, distance, clusters)
-    )
+    # first iteration unrolled (it has the cell-local fast path); later
+    # iterations traced once under lax.fori_loop: unrolling the reference's
+    # 5-iteration pipelines explodes XLA compile time
+    state = (labels, distance, clusters)
+    state = iteration(state, True)
+    if params.iterations > 1:
+        state = jax.lax.fori_loop(
+            1, params.iterations, lambda _, s: iteration(s, False), state
+        )
+    labels, distance, clusters = state
     return SLICResult(labels=labels, distance=distance, clusters=clusters)

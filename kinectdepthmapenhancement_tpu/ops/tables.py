@@ -52,15 +52,19 @@ def one_hot(labels: jnp.ndarray, k: int) -> jnp.ndarray:
     )
 
 
-def _split3(x: jnp.ndarray):
+def split3(x: jnp.ndarray):
     """f32 -> three bf16 parts whose f32 sum reconstructs x exactly
     (8+8+8 mantissa bits cover f32's 24)."""
+    x = x.astype(jnp.float32)
     h1 = x.astype(jnp.bfloat16)
     r1 = x - h1.astype(jnp.float32)
     h2 = r1.astype(jnp.bfloat16)
     r2 = r1 - h2.astype(jnp.float32)
     h3 = r2.astype(jnp.bfloat16)
     return h1, h2, h3
+
+
+_split3 = split3
 
 
 def _dot(p: jnp.ndarray, t: jnp.ndarray, contract_p: int) -> jnp.ndarray:

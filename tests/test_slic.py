@@ -122,3 +122,77 @@ def test_labels_cover_grid(small_scene):
     )
     lab = np.asarray(got.labels)
     assert lab.max() < 12 and lab.min() >= -1
+
+
+def test_cell_index_matches_reference_path(small_scene):
+    """The cell-local fast path (first-iteration broadcast assignment +
+    cell-local one-hot updates) must reproduce the reference path exactly
+    (labels) / to float tolerance (stats).
+
+    Normals are perturbed off the piecewise-constant test scene: with
+    constant normals the weighted update's `dot <= 1.0` acceptance gate sits
+    exactly ON the f32 boundary and ANY summation-order change (the
+    reference's own tree reduction included) flips it — a knife-edge the
+    spec does not define tighter than float associativity."""
+    color, depth, points, normals = _setup(small_scene)
+    rng = np.random.default_rng(11)
+    perturbed = normals + rng.normal(0, 0.02, normals.shape).astype(np.float32)
+    valid = np.any(normals != -1.0, axis=-1)
+    perturbed /= np.maximum(np.linalg.norm(perturbed, axis=-1, keepdims=True), 1e-9)
+    normals = np.where(valid[..., None], perturbed, normals).astype(np.float32)
+    grid = GridParams(rows=3, cols=4)
+    p = SLICParams(10.0, 50.0, 50.0, 150.0, 2)
+    seeds = oracle_slic.slic_segment(
+        color, points, normals, 3, 4, 10.0, 50.0, 50.0, 150.0, 2, "nasp"
+    )["seeds"]
+    args = dict(grid=grid, params=p, variant="nasp", seeds=jnp.asarray(seeds))
+    try:
+        slic.force_cell(False)
+        base = slic.segment(
+            jnp.asarray(color), jnp.asarray(points), jnp.asarray(normals), **args
+        )
+        slic.force_cell(True)
+        fast = slic.segment(
+            jnp.asarray(color), jnp.asarray(points), jnp.asarray(normals), **args
+        )
+    finally:
+        slic.force_cell(None)
+    np.testing.assert_array_equal(np.asarray(fast.labels), np.asarray(base.labels))
+    np.testing.assert_array_equal(np.asarray(fast.clusters.xy), np.asarray(base.clusters.xy))
+    np.testing.assert_allclose(
+        np.asarray(fast.clusters.rgb), np.asarray(base.clusters.rgb), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.clusters.center), np.asarray(base.clusters.center),
+        rtol=1e-5, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.clusters.normal), np.asarray(base.clusters.normal),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_subgrid_seed_fast_path_matches_full(small_scene):
+    """At cell sizes where the seed windows' gradient support fits inside a
+    cell, seeds computed on the extracted sub-grid must be bit-identical to
+    the full-image computation (both SP-style and NASP gradients)."""
+    h, w = 96, 128
+    color = np.broadcast_to(small_scene["color"][:h, :w], (h, w, 3)).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    color = (color.astype(np.int32) + rng.integers(0, 30, (h, w, 3))).clip(0, 255).astype(np.uint8)
+    n = rng.normal(size=(h, w, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n[rng.random((h, w)) < 0.1] = -1.0
+    grid = GridParams(rows=3, cols=4)
+    color_f = jnp.asarray(color, jnp.float32)
+    for variant, window in (("sp", 16), ("dasp", 4), ("nasp", 8)):
+        assert slic._subgrid_ok(grid, h, w, window)
+        fast = slic._compute_seeds(
+            color_f, jnp.asarray(n), grid, h, w, window, variant
+        )
+        if variant == "nasp":
+            grad = slic._nasp_gradient(color_f, jnp.asarray(n))
+        else:
+            grad = slic._color_gradient(color_f)
+        full = slic.sample_seeds(grad, grid, h, w, window)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))
