@@ -41,8 +41,10 @@ def make_scene(
     color = np.zeros((height, width, 3), np.float64)
     color[...] = (180.0, 170.0, 150.0)
 
-    # floor plane: n=(0, sin, cos)-ish, passing low in the image
-    floor = _plane_depth(intr, height, width, np.array([0.0, 0.866, 0.5]), 900.0)
+    # floor plane at the image BOTTOM (the camera convention is y-up,
+    # y = (cy - v)/fy, so a floor the camera looks down on has an upward
+    # normal with NEGATIVE image-y coefficient); recedes under the wall
+    floor = _plane_depth(intr, height, width, np.array([0.0, -0.866, 0.5]), 1200.0)
     floor_mask = (floor > 0) & (floor < depth)
     depth = np.where(floor_mask, floor, depth)
     color[floor_mask] = (90.0, 110.0, 140.0)

@@ -115,8 +115,16 @@ def kde_pipeline(
     nasp = slic.segment(
         color, points, nmap, grid=cfg.grid, params=cfg.nasp, variant="nasp"
     )
+    # single-iteration NASP labels are cell-local, so CCL can reuse the
+    # cell-local index (XLA CSEs its one-hot with the SLIC-internal one)
+    nasp_cell = (
+        slic.cell_index(nasp.labels, cfg.grid, neighborhood=8)
+        if cfg.nasp.iterations == 1
+        else None
+    )
     merged = ccl.merge_normals(
-        nasp.labels, nasp.clusters.normal, nasp.clusters.center, cfg.ccl
+        nasp.labels, nasp.clusters.normal, nasp.clusters.center, cfg.ccl,
+        index=nasp_cell,
     )
     plane_fitted = plane.set_pseudo_depth_map(
         points, rays, merged.nd_map, merged.labels, merged.variance

@@ -43,6 +43,7 @@ from jax import lax
 
 from kinectdepthmapenhancement_tpu.core.config import CCLParams, CCLPCAParams
 from kinectdepthmapenhancement_tpu.ops import tables
+from kinectdepthmapenhancement_tpu.ops import slic as slic_mod
 
 INVALID_ND = 5.0
 
@@ -57,25 +58,20 @@ class MergeResult(NamedTuple):
     eigen_map: jnp.ndarray    # [H, W] f32 (PCA variant; zeros otherwise)
 
 
-def _adjacency(labels: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[K, K] bool: cluster pairs adjacent via a 4-neighbour pixel pair."""
-    pairs_a = jnp.concatenate([labels[:, :-1].reshape(-1), labels[:-1, :].reshape(-1)])
-    pairs_b = jnp.concatenate([labels[:, 1:].reshape(-1), labels[1:, :].reshape(-1)])
-    if tables.use_mxu():
-        # scatter serializes on TPU; count pair occurrences on the MXU
-        pa = tables.one_hot(pairs_a, k)
-        pb = tables.one_hot(pairs_b, k)
-        counts = jax.lax.dot_general(
-            pa, pb, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (counts + counts.T) > 0.0
-    la = jnp.where(pairs_a >= 0, pairs_a, k)
-    lb = jnp.where(pairs_b >= 0, pairs_b, k)
-    adj = jnp.zeros((k + 1, k + 1), jnp.bool_)
-    adj = adj.at[la, lb].set(True)
-    adj = adj.at[lb, la].set(True)
-    return adj[:k, :k]
+def _adjacency(idx) -> jnp.ndarray:
+    """[K, K] bool: cluster pairs adjacent via a 4-neighbour pixel pair,
+    counted through the label index (cell-local pair matrices when the
+    labels are single-iteration SLIC output, MXU one-hot matmul otherwise)."""
+    labels = idx.labels
+    h, w = labels.shape
+    right = jnp.concatenate(
+        [labels[:, 1:], jnp.full((h, 1), -1, labels.dtype)], axis=1
+    )
+    down = jnp.concatenate(
+        [labels[1:, :], jnp.full((1, w), -1, labels.dtype)], axis=0
+    )
+    counts = idx.pair_counts(right) + idx.pair_counts(down)
+    return (counts + counts.T) > 0.0
 
 
 def _components(mergeable: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -109,11 +105,22 @@ def _merge(
     cluster_centers: jnp.ndarray, # [K, 3]
     predicate,
     eigenvalues: jnp.ndarray | None,
+    index=None,
 ) -> MergeResult:
+    """index: optional cell-local label index (slic.cell_index) when `labels`
+    are single-iteration SLIC output; falls back to the global index.
+
+    Every per-pixel quantity of the reference's count/calc_nd kernels is a
+    pure function of the pixel's ORIGINAL cluster id, so all stats collapse
+    to K-side table algebra: one per-label pixel histogram + [K]-vector
+    segment sums keyed by the component representative + ONE final per-pixel
+    gather for the output maps.  (Mathematically identical to the pixel-level
+    accumulation; f32 grouping differs only by summation order.)"""
     h, w = labels.shape
     k = cluster_nd.shape[0]
+    idx = index if index is not None else slic_mod._GlobalIndex(labels, k)
 
-    adj = _adjacency(labels, k)
+    adj = _adjacency(idx)
     na = cluster_nd[:, None, :3]
     nb = cluster_nd[None, :, :3]
     dot = jnp.sum(na * nb, axis=-1)
@@ -123,39 +130,20 @@ def _merge(
 
     rep = _components(mergeable, cluster_valid)
 
-    # per-pixel merged label: rep and validity gathered through the original
-    # cluster table (K-entry lookups composed on the table side, then ONE
-    # per-pixel gather via tables.gather)
-    table_side = jnp.concatenate(
+    # ---- stats (countKernel / calculate_nd), K-side
+    counts = idx.counts()                       # [K] pixels per original id
+    valid_f = cluster_valid.astype(jnp.float32)
+    cnt_v = counts * valid_f                    # pix_valid pixels per id
+    feats_k = jnp.concatenate(
         [
-            rep.astype(jnp.float32)[:, None],
-            cluster_valid.astype(jnp.float32)[:, None],
-            cluster_nd[:, :3],
-            cluster_centers,
-        ],
-        axis=-1,
-    )
-    if eigenvalues is not None:
-        table_side = jnp.concatenate([table_side, eigenvalues[:, None]], axis=-1)
-    g = tables.gather(table_side, labels)
-    pix_valid = (labels >= 0) & (g[..., 1] > 0.0)
-    merged = jnp.where(pix_valid, g[..., 0].astype(jnp.int32), -1)
-    pix_nd3 = g[..., 2:5]
-    pix_ct = g[..., 5:8]
-
-    # ---- stats (countKernel / calculate_nd)
-    mlab = jnp.where(pix_valid, merged, -1)
-    onehot_m = tables.one_hot(mlab, k) if tables.use_mxu() else None
-    feats = jnp.concatenate(
-        [
-            pix_nd3.reshape(-1, 3),
-            pix_ct.reshape(-1, 3),
-            jnp.ones((h * w, 1), jnp.float32),
+            cluster_nd[:, :3] * cnt_v[:, None],
+            cluster_centers * cnt_v[:, None],
+            cnt_v[:, None],
         ]
-        + ([g[..., 8].reshape(-1, 1)] if eigenvalues is not None else []),
+        + ([eigenvalues[:, None] * cnt_v[:, None]] if eigenvalues is not None else []),
         axis=-1,
     )
-    sums = tables.segment_sum(feats, mlab, k, onehot=onehot_m)
+    sums = tables.segment_sum(feats_k, rep, k)  # [K(merged), F] — tiny
     sizes = sums[:, 6]
     safe = jnp.maximum(sizes, 1.0)
     mean_n = sums[:, 0:3] / safe[:, None]
@@ -163,28 +151,34 @@ def _merge(
     mdist = jnp.abs(jnp.sum(mean_n * mean_c, axis=-1))
     merged_nd_k = jnp.concatenate([mean_n, mdist[:, None]], axis=-1)
 
-    # variance: mean over pixels of dot(original nd, merged mean normal)
-    merged_side = jnp.concatenate(
-        [merged_nd_k, safe[:, None]]
-        + ([(sums[:, 7] / safe)[:, None]] if eigenvalues is not None else []),
+    # variance: mean over member pixels of dot(original nd, merged mean
+    # normal) == dot(sum of member nd3, mean normal) / size
+    var_sum = jnp.sum(sums[:, 0:3] * mean_n, axis=-1) / safe
+    eig_k = (
+        sums[:, 7] / safe if eigenvalues is not None else jnp.zeros((k,), jnp.float32)
+    )
+
+    # ---- per-pixel maps: K-side composition + ONE gather by original labels
+    by_rep = jnp.concatenate(
+        [merged_nd_k] + ([eig_k[:, None]] if eigenvalues is not None else []),
         axis=-1,
     )
-    gm = tables.gather(merged_side, mlab, onehot=onehot_m)
-    mean_n_pix = gm[..., 0:3]
-    size_pix = jnp.maximum(gm[..., 4], 1.0)
-    pix_dot = jnp.sum(pix_nd3 * mean_n_pix, axis=-1)
-    var_sum = tables.segment_sum(
-        jnp.where(pix_valid, pix_dot / size_pix, 0.0)[..., None],
-        mlab, k, onehot=onehot_m,
-    )[:, 0]
-
-    nd_map = jnp.where((merged >= 0)[..., None], gm[..., 0:4], 0.0)
-
+    by_k = tables.gather(by_rep, rep)           # [K, 4(+1)] — tiny
+    tbl = jnp.concatenate(
+        [
+            rep.astype(jnp.float32)[:, None],
+            valid_f[:, None],
+            by_k,
+        ],
+        axis=-1,
+    )
+    g = idx.gather(tbl)
+    pix_valid = (labels >= 0) & (g[..., 1] > 0.0)
+    merged = jnp.where(pix_valid, g[..., 0].astype(jnp.int32), -1)
+    nd_map = jnp.where((merged >= 0)[..., None], g[..., 2:6], 0.0)
     if eigenvalues is not None:
-        eig_k = sums[:, 7] / safe
-        eig_map = jnp.where(merged >= 0, gm[..., 5], 0.0)
+        eig_map = jnp.where(merged >= 0, g[..., 6], 0.0)
     else:
-        eig_k = jnp.zeros((k,), jnp.float32)
         eig_map = jnp.zeros((h, w), jnp.float32)
 
     return MergeResult(
@@ -203,6 +197,7 @@ def merge_normals(
     cluster_normals: jnp.ndarray,  # [K, 3], -1 sentinel
     cluster_centers: jnp.ndarray,  # [K, 3]
     p: CCLParams = CCLParams(),
+    index=None,
 ) -> MergeResult:
     """LabelEquivalenceSeg::labelImage (LabelEquivalenceSeg.cu:228-282).
 
@@ -220,7 +215,7 @@ def merge_normals(
         # dot > 1 -> acos is NaN -> both comparisons false in the reference.
         return (dot < 1.0) & (dot > cos_max) & (dd < p.plane_offset_max)
 
-    return _merge(labels, nd, valid, cluster_centers, predicate, None)
+    return _merge(labels, nd, valid, cluster_centers, predicate, None, index=index)
 
 
 def merge_pca(

@@ -58,9 +58,14 @@ def set_pseudo_depth_map(
     """Per-pixel nd map + variance gate (first overload, Projection_GPU.cu:20-48;
     used by KDE with the CCL-merged outputs): plane-project where label > -1
     and acos(variance[label]) < pi/8, else pass through the input points."""
-    var = tables.gather(variance, labels)
-    # acos(v) < pi/8  <=>  v > cos(pi/8); v > 1 -> NaN -> false in reference
-    gate = (labels > -1) & (var > COS_PI_8) & (var <= 1.0)
+    # acos(v) < pi/8  <=>  v > cos(pi/8).  The reference's acos(v) is NaN
+    # (-> reject) for v > 1, but coherence lands at 1 +- ulp for perfectly
+    # planar clusters (it is a unit normal's self-dot), so whether a cluster
+    # is accepted is f32 summation-order luck there.  FIXED (documented):
+    # v > 1 is clamped to 1, deterministically accepting fully coherent
+    # clusters — the obviously intended behaviour.
+    var = jnp.minimum(tables.gather(variance, labels), 1.0)
+    gate = (labels > -1) & (var > COS_PI_8)
     proj = _project(nd_map, rays)
     return jnp.where(gate[..., None], proj, points)
 
@@ -99,10 +104,11 @@ def set_pseudo_depth_normals(
         ),
         labels,
     )
-    n, c, var = g[..., 0:3], g[..., 3:6], g[..., 6]
+    n, c, var = g[..., 0:3], g[..., 3:6], jnp.minimum(g[..., 6], 1.0)
     d = jnp.abs(jnp.sum(n * c, axis=-1))
     nd = jnp.concatenate([n, d[..., None]], axis=-1)
-    gate = (labels > -1) & (var > COS_PI_8) & (var <= 1.0)
+    # var > 1 clamped (see set_pseudo_depth_map)
+    gate = (labels > -1) & (var > COS_PI_8)
     proj = _project(nd, rays)
     return jnp.where(gate[..., None], proj, points)
 
@@ -131,13 +137,14 @@ def variance_optimization(
         ),
         labels,
     )
-    var, size = g[..., 0], g[..., 1]
+    # var > 1 clamped (see set_pseudo_depth_map); the clamped value also
+    # feeds the blend below, keeping it a convex combination
+    var, size = jnp.minimum(g[..., 0], 1.0), g[..., 1]
     gate = (
         (zp > VALID_DEPTH_MM)
         & (diff < zo * agree_loose)
         & (labels > -1)
         & (var > COS_PI_8)
-        & (var <= 1.0)
         & (size > min_cluster_size)
     )
     snap = diff < zo * agree_tight

@@ -148,6 +148,27 @@ class _GlobalIndex:
         masked = jnp.where(mask, self.labels, -1)
         return tables.segment_sum(feats, masked, self.k)
 
+    def counts(self) -> jnp.ndarray:
+        """Pixels per label [K] f32 (labels < 0 dropped)."""
+        ones = jnp.ones(self.labels.shape + (1,), jnp.float32)
+        return self.segment_sum(ones, self.labels >= 0)[:, 0]
+
+    def pair_counts(self, labels_b: jnp.ndarray) -> jnp.ndarray:
+        """[K, K] f32: occurrences of (own label, labels_b) pixel pairs;
+        pairs with either side < 0 are dropped."""
+        if self.oh is not None:
+            ohb = tables.one_hot(labels_b, self.k)
+            return jax.lax.dot_general(
+                self.oh, ohb, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        a = self.labels.reshape(-1)
+        b = labels_b.reshape(-1)
+        la = jnp.where(a >= 0, a, self.k)
+        lb = jnp.where(b >= 0, b, self.k)
+        m = jnp.zeros((self.k + 1, self.k + 1), jnp.float32)
+        return m.at[la, lb].add(1.0)[: self.k, : self.k]
+
 
 class _CellIndex:
     """Cell-local label index.  Valid ONLY when every label is either -1 or
@@ -165,6 +186,8 @@ class _CellIndex:
         self.rows, self.cols = rows, cols
         self.k = grid.num_clusters
         self.h, self.w = h, w
+        self.r = r
+        self.labels = labels
         self.bs_y, self.bs_x = h // rows, w // cols
         offs = [(dy, dx) for dy in range(-r, r) for dx in range(-r, r)]
         self.n = len(offs)
@@ -233,6 +256,65 @@ class _CellIndex:
         return tables.segment_sum(
             part_flat, self.cand_flat, self.k, onehot=self.oh_k
         )
+
+    def counts(self) -> jnp.ndarray:
+        """Pixels per label [K] f32: per-cell candidate histograms (a pure
+        reduction of the one-hot) folded to clusters by the tiny K one-hot."""
+        per = jnp.sum(self.oh.astype(jnp.float32), axis=2)  # [rows, cols, n]
+        return tables.segment_sum(
+            per.reshape(-1, 1), self.cand_flat, self.k, onehot=self.oh_k
+        )[:, 0]
+
+    def pair_counts(self, labels_b: jnp.ndarray) -> jnp.ndarray:
+        """[K, K] f32 occurrences of (own label, labels_b) pixel pairs.
+
+        labels_b must be a <=1-pixel shift of cell-local labels, so its values
+        lie in the ENLARGED (2r+1)^2 candidate set of each pixel's cell.  The
+        pair matrix is accumulated per cell in candidate coordinates
+        ([nA, nB] per cell) and folded to [K, K] by the candidate one-hots —
+        no [H*W, K] one-hot is ever materialised."""
+        rows, cols, r = self.rows, self.cols, self.r
+        offs_b = [
+            (dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+        ]
+        nb = len(offs_b)
+        cy = jnp.arange(rows, dtype=jnp.int32)[:, None, None]
+        cx = jnp.arange(cols, dtype=jnp.int32)[None, :, None]
+        dy = jnp.asarray([o[0] for o in offs_b], jnp.int32)[None, None, :]
+        dx = jnp.asarray([o[1] for o in offs_b], jnp.int32)[None, None, :]
+        ny, nx = cy + dy, cx + dx
+        in_grid = (ny >= 0) & (ny < rows) & (nx >= 0) & (nx < cols)
+        cand_b = jnp.where(in_grid, ny * cols + nx, -9)  # [rows, cols, nb]
+        lb_b = self._to_cells(labels_b[..., None].astype(jnp.int32))[..., 0]
+        oh_b = (lb_b[..., None] == cand_b[:, :, None, :]).astype(jnp.bfloat16)
+        # per-cell pair matrix in candidate coordinates
+        m = lax.dot_general(
+            self.oh, oh_b,
+            dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        ).reshape(rows * cols, self.n, nb)
+        oh_bk = tables.one_hot(cand_b, self.k).reshape(rows * cols, nb, self.k)
+        oh_ak = tables.one_hot(self.cand, self.k).reshape(
+            rows * cols, self.n, self.k
+        )
+        # fold both candidate axes to cluster ids: sum_c U_a[c]^T m[c] U_b[c]
+        t = None
+        for part in tables.split3(m):
+            o = lax.dot_general(
+                part, oh_bk,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [C, nA, K]
+            t = o if t is None else t + o
+        out = None
+        for part in tables.split3(t):
+            o = lax.dot_general(
+                oh_ak, part,
+                dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [K, K]
+            out = o if out is None else out + o
+        return out
 
 
 def _cell_ok(grid: GridParams, h: int, w: int) -> bool:

@@ -104,3 +104,47 @@ def test_transitive_merge_chain():
     got = ccl.merge_normals(jnp.asarray(labels, jnp.int32), jnp.asarray(n), jnp.asarray(c))
     lab = np.asarray(got.labels)
     assert lab[0, 0] == lab[0, 6] == lab[0, 11] == 0
+
+
+def test_merge_cell_index_matches_global():
+    """merge_normals through a cell-local index (single-iteration SLIC
+    labels) must match the global-index path: identical merged labels and
+    close stats."""
+    import jax.numpy as jnp
+    from kinectdepthmapenhancement_tpu.core.config import GridParams
+    from kinectdepthmapenhancement_tpu.ops import slic as slic_mod
+
+    rng = np.random.default_rng(5)
+    h, w = 48, 64
+    grid = GridParams(3, 4)
+    k = grid.num_clusters
+    r = 4
+    ws_y, ws_x = h // 3, w // 4
+    cy = np.arange(h)[:, None] // ws_y
+    cx = np.arange(w)[None, :] // ws_x
+    dy = rng.integers(-r, r, (h, w))
+    dx = rng.integers(-r, r, (h, w))
+    ny, nx = cy + dy, cx + dx
+    lab = np.where(
+        (ny >= 0) & (ny < 3) & (nx >= 0) & (nx < 4), ny * 4 + nx, -1
+    ).astype(np.int32)
+    lab[rng.random((h, w)) < 0.05] = -1
+
+    normals = rng.normal(size=(k, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    normals[2] = -1.0
+    centers = rng.uniform(500, 3000, (k, 3)).astype(np.float32)
+
+    base = ccl.merge_normals(jnp.asarray(lab), jnp.asarray(normals), jnp.asarray(centers))
+    idx = slic_mod._CellIndex(jnp.asarray(lab), grid, r, h, w)
+    fast = ccl.merge_normals(
+        jnp.asarray(lab), jnp.asarray(normals), jnp.asarray(centers), index=idx
+    )
+    np.testing.assert_array_equal(np.asarray(fast.labels), np.asarray(base.labels))
+    np.testing.assert_allclose(
+        np.asarray(fast.nd_map), np.asarray(base.nd_map), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.variance), np.asarray(base.variance), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(fast.sizes), np.asarray(base.sizes))
