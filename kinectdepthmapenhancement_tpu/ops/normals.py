@@ -389,8 +389,6 @@ def cm_normals(
 ) -> jnp.ndarray:
     """computeNormalCM_GPU (NormalMapGenerator.cu:244-302)."""
     h, w = smoothing.shape
-    ci = _box_channels(vertices_m, "cm")
-    pi = integral.pad_tables(ci, MAX_RECT + 3, h, w)
     v = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
     in_border = (u <= border) | (u >= w - border) | (v <= border) | (v >= h - border)
@@ -401,13 +399,16 @@ def cm_normals(
     # VALID pixels of the box, in f64.  f32 summed-area tables lose ~1e-5
     # absolute on the box sums, which swamps the ~1e-4 covariances of SMALL
     # windows (the means are metres, the extents centimetres).  Strategy:
-    #   * s <= DIRECT_MAX: accumulate the box DIRECTLY from per-query-pixel
-    #     centred residuals (s^2 shifted slices; every term is O(extent^2),
-    #     so f32 matches the f64 oracle to ~1e-7),
-    #   * s > DIRECT_MAX: integral tables re-referenced to the query vertex
-    #     (the covariance grows ~s^4 while the table error stays flat, so
-    #     the relative error is harmless there).
-    DIRECT_MAX = 8
+    #   * accumulate the box DIRECTLY from per-query-pixel centred residuals
+    #     (every term is O(extent^2), so f32 matches the f64 oracle to ~1e-7).
+    #     The incremental nested-window sweep visits each of the 21^2 taps
+    #     exactly once for ALL sizes, so this costs ~441 fused VPU taps.
+    #   * the re-referenced integral path (integral_cov below) is kept for
+    #     documentation but NOT used: at 640x480 the f32 global summed-area
+    #     tables carry ~0.1 absolute error, the same order as the window
+    #     covariances themselves (measured 7 deg mean normal error on a clean
+    #     plane); per-query direct accumulation restores <0.1 deg.
+    DIRECT_MAX = MAX_RECT
     a3 = vertices_m  # per-query reference point (the pixel's own vertex)
     valid_f = (vertices_m[..., 2] != 0.0).astype(jnp.float32)
     vpad2 = jnp.pad(
@@ -457,6 +458,10 @@ def cm_normals(
         return snaps
 
     def integral_cov(s):
+        # UNUSED while DIRECT_MAX == MAX_RECT (see strategy note above);
+        # retained as the O(1)-per-size fallback recipe for much larger rects
+        ci = _box_channels(vertices_m, "cm")
+        pi = integral.pad_tables(ci, MAX_RECT + 3, h, w)
         r2 = s >> 1
         cont = integral.fixed_box_count(pi, -r2 - 1, -r2 - 1, s, s)
         sums = integral.fixed_box_sum_all(pi, -r2 - 1, -r2 - 1, s, s)

@@ -102,8 +102,20 @@ def joint_bilateral_filter(
                             if color_sigma != 0.0
                             else 0.0
                         )
+                        # the reference computes this Gaussian in float32
+                        # (JointBilateralFilter.cu:59); for large depth steps
+                        # it underflows to exactly 0 and the `if (term != 0)`
+                        # guard then SKIPS the term — emulate f32 underflow so
+                        # the oracle takes the same branch
                         dfil = (
-                            np.exp(-((depth[yy, xx] - wavg) ** 2) / (2 * depth_sigma**2))
+                            float(
+                                np.float32(
+                                    np.exp(
+                                        -((depth[yy, xx] - wavg) ** 2)
+                                        / (2 * depth_sigma**2)
+                                    )
+                                )
+                            )
                             if depth_sigma != 0.0
                             else 0.0
                         )

@@ -131,9 +131,32 @@ def depth_enhance(depth, labels, color, window=7, ss=30.0, sc=50.0, sd=70.0):
                         else:
                             sigma = sigma * np.float32(0.3)
                         cd = cf[y, x] - cf[yy, xx]
-                        cfil = np.exp(-np.dot(cd, cd) / (2 * max(sigma, 1e-30) ** 2))
+                        # the reference computes these Gaussians in float32,
+                        # where args below ~-87 underflow to 0 and the
+                        # `if (term != 0)` guard then SKIPS the term (factor
+                        # 1, tap fully alive); in f64 the term stays a tiny
+                        # nonzero and kills the tap.  Emulate f32.
+                        cfil = float(
+                            np.float32(
+                                np.exp(
+                                    np.float32(
+                                        -np.dot(cd, cd)
+                                        / (2 * max(sigma, 1e-30) ** 2)
+                                    )
+                                )
+                            )
+                        )
                         dfil = (
-                            np.exp(-((depth[yy, xx] - wavg) ** 2) / (2 * sd**2))
+                            float(
+                                np.float32(
+                                    np.exp(
+                                        np.float32(
+                                            -((depth[yy, xx] - wavg) ** 2)
+                                            / (2 * sd**2)
+                                        )
+                                    )
+                                )
+                            )
                             if sd
                             else 0.0
                         )

@@ -16,8 +16,12 @@ def _setup(small_scene, h=48, w=64):
     # synthetic piecewise normals with some invalids, unit length
     n = np.zeros((h, w, 3), np.float32)
     n[..., 2] = -1.0
-    n[h // 2 :, :, 1] = -0.6
-    n[h // 2 :, :, 2] = -0.8
+    # NOT (-0.6, -0.8): that vector's f32 norm is 1 + 1ulp, which puts the
+    # weighted-pass acceptance gate `dot <= 1.0` exactly on the f32/f64
+    # rounding boundary (the f32 impl matches the reference's acosf(dot)
+    # behaviour; the f64 oracle flips).  Use a clearly sub-unit normal.
+    n[h // 2 :, :, 1] = -0.599
+    n[h // 2 :, :, 2] = -0.7987
     n[depth <= 50.0] = -1.0
     return color, depth, points.astype(np.float32), n
 
