@@ -8,7 +8,11 @@ Data dependence between iterations is forced by nudging a float input with
 1e-30 * sum(previous output) (numerically a no-op, but un-foldable).
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
