@@ -56,6 +56,75 @@ def depth_rgb(depth: jnp.ndarray, scale: float = 5000.0) -> jnp.ndarray:
     return jnp.where(valid[..., None], jnp.clip(img, 0, 255), 0.0).astype(jnp.uint8)
 
 
+def depth_histogram_image(
+    depth: jnp.ndarray, max_depth_mm: int = 10000
+) -> jnp.ndarray:
+    """Histogram-equalised depth render (Kinect::CreateDepthImage,
+    Kinect/Kinect.cpp:108-151 — the NiSimpleViewer algorithm).
+
+    The cumulative histogram over integer-mm depth maps each valid pixel to
+    `256*(1 - cdf(z))` in the G and B channels (yellow-ish near, black far
+    in the reference's BGR layout); z==0 stays at bin 0's value like the
+    reference (whose final loop does not re-test validity).  Jittable.
+    """
+    z = jnp.clip(depth.astype(jnp.int32), 0, max_depth_mm - 1)
+    valid = z > 0
+    hist = jnp.zeros((max_depth_mm,), jnp.float32).at[
+        jnp.where(valid, z, 0)
+    ].add(valid.astype(jnp.float32))
+    cdf = jnp.cumsum(hist)
+    points = jnp.maximum(cdf[-1], 1.0)
+    ramp = 256.0 * (1.0 - cdf / points)
+    ramp = ramp.at[0].set(0.0)  # depth_hist[0] is never rescaled (stays 0)
+    val = jnp.clip(ramp[z], 0, 255).astype(jnp.uint8)
+    zero = jnp.zeros_like(val)
+    return jnp.stack([zero, val, val], axis=-1)  # (B, G, R) like cv::Vec3b
+
+
+def point_cloud(
+    points_mm: jnp.ndarray, color: jnp.ndarray | None = None
+) -> np.ndarray:
+    """Flatten a [H, W, 3] point map (mm) to an [N, 6] xyzrgb array in
+    metres, dropping invalid (z<=50mm) points — the reference's PCL cloud
+    construction (main.cpp:234-301, cloud_input->points push_back)."""
+    pts = np.asarray(points_mm, np.float32).reshape(-1, 3)
+    ok = pts[:, 2] > 50.0
+    xyz = pts[ok] / 1000.0
+    if color is None:
+        rgb = np.full_like(xyz, 255.0)
+    else:
+        rgb = np.asarray(color, np.float32).reshape(-1, 3)[ok]
+    return np.concatenate([xyz, rgb], axis=-1)
+
+
+def save_ply(path: str, cloud: np.ndarray) -> None:
+    """Write an [N, 6] xyzrgb cloud as ASCII PLY — the TPU-host analog of
+    the reference's PCL 6-viewport visualisation / pcd dumps
+    (main.cpp:362-413, Kinect.cpp SavePointcloud)."""
+    n = cloud.shape[0]
+    header = "\n".join(
+        [
+            "ply",
+            "format ascii 1.0",
+            f"element vertex {n}",
+            "property float x",
+            "property float y",
+            "property float z",
+            "property uchar red",
+            "property uchar green",
+            "property uchar blue",
+            "end_header",
+        ]
+    )
+    body = "\n".join(
+        f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+        f"{int(p[3])} {int(p[4])} {int(p[5])}"
+        for p in cloud
+    )
+    with open(path, "w") as f:
+        f.write(header + "\n" + body + "\n")
+
+
 def save_png(path: str, image: jnp.ndarray) -> None:
     """Write a u8 image (mirrors the reference's cv::imwrite debug hooks)."""
     from PIL import Image

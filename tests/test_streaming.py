@@ -74,3 +74,39 @@ def test_visualize_shapes(small_scene):
     assert d.dtype == jnp.uint8
     n = visualize.normal_image(jnp.zeros((8, 8, 3)))
     assert np.all(np.asarray(n) == 127)
+
+
+def test_depth_histogram_image():
+    """Mirrors Kinect::CreateDepthImage: cumulative-histogram equalisation,
+    nearer (smaller z) valid depth -> larger G/B value; z==0 -> 0."""
+    depth = jnp.asarray(
+        [[0.0, 1000.0, 1000.0, 3000.0], [3000.0, 3000.0, 0.0, 6000.0]],
+        jnp.float32,
+    )
+    img = np.asarray(visualize.depth_histogram_image(depth))
+    assert img.shape == (2, 4, 3) and img.dtype == np.uint8
+    assert np.all(img[..., 0] == 0)  # blue-channel slot stays 0
+    assert np.array_equal(img[..., 1], img[..., 2])
+    g = img[..., 1].astype(int)
+    assert g[0, 0] == 0 and g[1, 2] == 0  # invalid depth
+    # cdf: 1000->2/6, 3000->5/6, 6000->6/6 ; value = 256*(1-cdf)
+    assert g[0, 1] == int(np.float32(256.0 * (1 - 2 / 6)))
+    assert g[0, 3] == int(np.float32(256.0 * (1 - 5 / 6)))
+    assert g[1, 3] == 0
+
+
+def test_point_cloud_and_ply(tmp_path, small_scene):
+    from kinectdepthmapenhancement_tpu.core.camera import projective_to_real
+
+    depth = jnp.asarray(small_scene["depth"])
+    pts = projective_to_real(depth, small_scene["intr"])
+    cloud = visualize.point_cloud(pts, small_scene["color"])
+    assert cloud.shape[1] == 6
+    assert cloud.shape[0] == int(np.sum(np.asarray(pts)[..., 2] > 50.0))
+    assert np.all(cloud[:, 2] > 0.05)  # metres now
+
+    p = tmp_path / "c.ply"
+    visualize.save_ply(str(p), cloud[:10])
+    text = p.read_text().splitlines()
+    assert text[0] == "ply" and "element vertex 10" in text[2]
+    assert len(text) == 10 + 10  # header 10 lines + 10 vertices
