@@ -1,0 +1,141 @@
+"""Pallas TPU kernel: fused per-pixel covariance pyramid for CM normals.
+
+The XLA path in ops/normals.py (direct_cov_all) accumulates 441 shifted-window
+taps into [H, W, 10] running sums and snapshots a covariance at each of the 20
+window sizes; XLA materialises many of those intermediates in HBM, making this
+the most expensive stage of the KDE pipeline (~16 ms of a ~23 ms frame).
+
+This kernel keeps a row-slab of the vertex map resident in VMEM and performs
+the whole incremental sweep on-chip: one HBM read of the inputs, one write of
+the selected per-pixel (count, covariance) — the arithmetic, tap order, and
+size selection are identical to the XLA path (NormalMapGenerator.cu:244-302's
+nested windows; see ops/normals.py for the replicate/fix notes).
+
+Layout: channel-major vertex planes [3, Hpad, WP] with 16-column zero pads and
+WP rounded up to a lane multiple (640 -> 768).  Column shifts are pltpu.roll;
+a roll of <= MAX_R lanes only contaminates the zero pads, so the compute lanes
+see exact zero-pad semantics with no masks.  Row shifts are static slab
+slices.  Outputs are written at full padded width and sliced by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_RECT = 21  # keep in sync with ops.normals.MAX_RECT
+MAX_R = MAX_RECT >> 1  # largest |dy|/|dx| tap offset (10)
+HALO = 16  # slab row halo (>= MAX_R, 8-aligned)
+PADX = 16  # column zero pad each side (> MAX_R so rolls stay in the pads)
+
+
+def _ring_taps():
+    """Per-size NEW taps of the nested reference windows, in the exact
+    accumulation order of ops.normals.direct_cov_all."""
+    rings = {}
+    prev: set = set()
+    for s in range(2, MAX_RECT + 1):
+        r2 = s >> 1
+        taps = {
+            (dy, dx)
+            for dy in range(-r2, -r2 + s)
+            for dx in range(-r2, -r2 + s)
+        }
+        rings[s] = sorted(taps - prev)
+        prev = taps
+    return rings
+
+
+def _cov_kernel(vpad_hbm, rect_ref, out_ref, v_vmem, sem, *, tile: int, wp: int):
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        vpad_hbm.at[:, pl.ds(i * tile, tile + 2 * HALO), :], v_vmem, sem
+    )
+    cp.start()
+    cp.wait()
+
+    a = v_vmem[:, HALO : HALO + tile, :]  # [3, tile, wp] centre vertices
+    rect = rect_ref[:, :]
+
+    zero = jnp.zeros((tile, wp), jnp.float32)
+    cnt = zero
+    s1 = [zero] * 3
+    s2 = [zero] * 6
+    out_cnt = zero
+    out_cov = [zero] * 6
+
+    for s, taps in _ring_taps().items():
+        for dy, dx in taps:
+            rows = v_vmem[:, HALO + dy : HALO + dy + tile, :]
+            shifted = (
+                pltpu.roll(rows, (-dx) % wp, axis=2) if dx != 0 else rows
+            )
+            m = (shifted[2] != 0.0).astype(jnp.float32)
+            res = [(shifted[c] - a[c]) * m for c in range(3)]
+            cnt = cnt + m
+            s1 = [s1[c] + res[c] for c in range(3)]
+            prods = (
+                res[0] * res[0], res[0] * res[1], res[0] * res[2],
+                res[1] * res[1], res[1] * res[2], res[2] * res[2],
+            )
+            s2 = [s2[e] + prods[e] for e in range(6)]
+        n_s = jnp.maximum(cnt, 1.0)
+        outer = (
+            s1[0] * s1[0], s1[0] * s1[1], s1[0] * s1[2],
+            s1[1] * s1[1], s1[1] * s1[2], s1[2] * s1[2],
+        )
+        sel = (rect >= s) if s == MAX_RECT else (rect == s)
+        out_cnt = jnp.where(sel, cnt, out_cnt)
+        out_cov = [
+            jnp.where(sel, s2[e] - outer[e] / n_s, out_cov[e]) for e in range(6)
+        ]
+
+    out_ref[0, :, :] = out_cnt
+    for e in range(6):
+        out_ref[1 + e, :, :] = out_cov[e]
+
+
+def cm_covariances(
+    vertices_m: jnp.ndarray,
+    rect: jnp.ndarray,
+    *,
+    tile: int = 48,
+    interpret: bool = False,
+):
+    """Per-pixel (count, 6 covariance entries) at each pixel's own window size.
+
+    vertices_m: [H, W, 3] f32 metres (zeros invalid); rect: [H, W] i32 window
+    sizes.  Returns (cnt [H, W], cov entries [H, W, 6]) == the XLA path's
+    _per_size(rect, 2..21, direct snapshots).
+    """
+    h, w = rect.shape
+    hp = -(-h // tile) * tile  # pad rows to a tile multiple
+    wp = -(-(w + 2 * PADX) // 128) * 128
+    vpad = jnp.pad(
+        jnp.moveaxis(vertices_m, -1, 0),
+        ((0, 0), (HALO, HALO + hp - h), (PADX, wp - w - PADX)),
+    )
+    rpad = jnp.pad(rect, ((0, hp - h), (PADX, wp - w - PADX)))
+
+    kernel = functools.partial(_cov_kernel, tile=tile, wp=wp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((tile, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((7, tile, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((7, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile + 2 * HALO, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(vpad, rpad)
+    out = out[:, :h, PADX : PADX + w]
+    return out[0], jnp.moveaxis(out[1:], 0, -1)

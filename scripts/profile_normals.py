@@ -3,7 +3,11 @@
 Same chained-iteration methodology as profile_kde.py.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
