@@ -96,6 +96,39 @@ def main() -> None:
         make_args,
         iters=5,
     )
+
+    # --- MFU / roofline accounting (PERF.md "Roofline model") -------------
+    # Static per-frame flops/bytes from XLA's own cost model of the single-
+    # frame executable; peaks per device kind.  "bytes accessed" is XLA's
+    # logical operand traffic — an UPPER bound on true HBM bytes (fusion
+    # keeps much of it in VMEM/registers), so hbm_bw_util is conservative-
+    # high; mfu uses the bf16 MXU peak, the standard denominator.
+    PEAKS = {  # device_kind -> (peak bf16 flops/s, HBM bytes/s)
+        "TPU v5 lite": (197e12, 819e9),
+        "TPU v5": (459e12, 1228e9),
+        "TPU v4": (275e12, 1228e9),
+        "TPU v6 lite": (918e12, 1640e9),
+    }
+    mfu = hbm_util = flops_per_frame = None
+    try:
+        compiled = (
+            jax.jit(lambda d, c_: kde_pipeline(d, c_, intr, cfg).optimized_points)
+            .lower(jnp.asarray(depth), c)
+            .compile()
+        )
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_frame = float(ca["flops"])
+        bytes_per_frame = float(ca["bytes accessed"])
+        kind = jax.devices()[0].device_kind
+        peak = next((v for k, v in PEAKS.items() if kind.startswith(k)), None)
+        if peak and per_frame > 0:
+            mfu = flops_per_frame / per_frame / peak[0]
+            hbm_util = bytes_per_frame / per_frame / peak[1]
+    except Exception:
+        pass  # cost model unavailable on this runtime; report fps only
+
     print(
         json.dumps(
             {
@@ -106,6 +139,11 @@ def main() -> None:
                 "device_frame_ms": round(per_frame * 1e3, 3),
                 "dispatch_inclusive_fps_batch4": round(fps, 2),
                 "single_dispatch_latency_ms": round(lat["median_s"] * 1e3, 2),
+                "gflops_per_frame": (
+                    round(flops_per_frame / 1e9, 2) if flops_per_frame else None
+                ),
+                "mfu": round(mfu, 5) if mfu else None,
+                "hbm_bw_util_upper_bound": round(hbm_util, 4) if hbm_util else None,
             }
         )
     )

@@ -108,6 +108,10 @@ class NormalParams:
     method: str = "cm"
     max_depth_change_factor: float = 0.05  # metres
     normal_smoothing_size: float = 20.0    # pixels
+    # covariance-sweep backend for the CM method: "auto" picks the fused
+    # Pallas kernel (ops/pallas_cov.py, bit-exact, ~8x faster) on TPU and the
+    # portable XLA path elsewhere; "xla" / "pallas" force one.
+    cov_impl: str = "auto"
     # Reference's chamfer DT is exact two-pass host code; we run a bounded
     # device-side min-plus relaxation instead.  The smoothing map is clamped to
     # <= normal_smoothing_size + z/10, so distances beyond ~24 px never matter;

@@ -85,9 +85,12 @@ def rgbf_pipeline(
 ) -> RGBFResult:
     """RegionGrowingBilateralFilter::Process (RegionGrowingBilateralFilter.cpp:27-38):
     colour-SLIC + depth-SLIC -> edge-refined superpixel filter."""
-    sp = slic.segment(color, points, grid=cfg.grid, params=cfg.color_slic, variant="dasp")
-    dasp = slic.segment(color, points, grid=cfg.grid, params=cfg.depth_slic, variant="dasp")
-    refined = ers.edge_refined_superpixel(sp.labels, dasp.labels, depth, color, cfg.ers)
+    with jax.named_scope("rgbf.color_slic"):
+        sp = slic.segment(color, points, grid=cfg.grid, params=cfg.color_slic, variant="dasp")
+    with jax.named_scope("rgbf.depth_slic"):
+        dasp = slic.segment(color, points, grid=cfg.grid, params=cfg.depth_slic, variant="dasp")
+    with jax.named_scope("rgbf.ers"):
+        refined = ers.edge_refined_superpixel(sp.labels, dasp.labels, depth, color, cfg.ers)
     return RGBFResult(
         refined_depth=refined.depth,
         refined_labels=refined.labels,
@@ -109,12 +112,17 @@ def kde_pipeline(
     h, w = depth.shape
     rays = normalized_rays(intr, h, w)
 
-    jbf_depth = bilateral.joint_bilateral_filter(depth, color, cfg.jbf)
-    points = projective_to_real(jbf_depth, intr)
-    nmap = normals.generate_normal_map(points, cfg.normals)
-    nasp = slic.segment(
-        color, points, nmap, grid=cfg.grid, params=cfg.nasp, variant="nasp"
-    )
+    # jax.named_scope labels each stage in jax.profiler traces (SURVEY.md §5
+    # tracing row); zero runtime cost, pure trace metadata.
+    with jax.named_scope("kde.jbf"):
+        jbf_depth = bilateral.joint_bilateral_filter(depth, color, cfg.jbf)
+        points = projective_to_real(jbf_depth, intr)
+    with jax.named_scope("kde.normals"):
+        nmap = normals.generate_normal_map(points, cfg.normals)
+    with jax.named_scope("kde.nasp"):
+        nasp = slic.segment(
+            color, points, nmap, grid=cfg.grid, params=cfg.nasp, variant="nasp"
+        )
     # single-iteration NASP labels are cell-local, so CCL can reuse the
     # cell-local index (XLA CSEs its one-hot with the SLIC-internal one)
     nasp_cell = (
@@ -122,24 +130,26 @@ def kde_pipeline(
         if cfg.nasp.iterations == 1
         else None
     )
-    merged = ccl.merge_normals(
-        nasp.labels, nasp.clusters.normal, nasp.clusters.center, cfg.ccl,
-        index=nasp_cell,
-    )
-    plane_fitted = plane.set_pseudo_depth_map(
-        points, rays, merged.nd_map, merged.labels, merged.variance
-    )
-    optimized = plane.variance_optimization(
-        points,
-        plane_fitted,
-        merged.labels,
-        merged.variance,
-        merged.sizes,
-        min_cluster_size=cfg.min_cluster_size,
-        agree_tight=cfg.agree_tight,
-        agree_loose=cfg.agree_loose,
-    )
-    optimized = plane.depth_bilateral(optimized, rays, cfg.projection)
+    with jax.named_scope("kde.ccl_merge"):
+        merged = ccl.merge_normals(
+            nasp.labels, nasp.clusters.normal, nasp.clusters.center, cfg.ccl,
+            index=nasp_cell,
+        )
+    with jax.named_scope("kde.projection"):
+        plane_fitted = plane.set_pseudo_depth_map(
+            points, rays, merged.nd_map, merged.labels, merged.variance
+        )
+        optimized = plane.variance_optimization(
+            points,
+            plane_fitted,
+            merged.labels,
+            merged.variance,
+            merged.sizes,
+            min_cluster_size=cfg.min_cluster_size,
+            agree_tight=cfg.agree_tight,
+            agree_loose=cfg.agree_loose,
+        )
+        optimized = plane.depth_bilateral(optimized, rays, cfg.projection)
     return KDEResult(
         optimized_points=optimized,
         plane_fitted=plane_fitted,

@@ -3,16 +3,21 @@
 The reference's only multi-frame mode is the 1000-frame ground-truth capture
 loop (main.cpp:86-116).  This runner generalises it for production use:
   * pulls frames from any iterator (e.g. the native C++ FrameSource),
-  * runs the KDE pipeline (batched; batch dim amortises dispatch overhead),
-  * maintains the temporal DepthBuffer accumulation,
-  * accumulates mean-3D-error metrics against the running buffer,
-  * checkpoints cursor + buffer + metrics every `checkpoint_every` frames so
-    a killed run resumes where it left off (utils/checkpoint.py).
+  * runs the KDE pipeline on BATCHES of frames per dispatch (one vmapped
+    executable per chunk amortises the per-dispatch host<->device round
+    trip, the dominant cost of frame-at-a-time serving on a remote runtime),
+  * maintains the temporal DepthBuffer accumulation (sequential by nature,
+    folded over the chunk with lax.scan inside the same executable),
+  * accumulates mean-3D-error metrics ON DEVICE per chunk — the host reads
+    back two scalars once per chunk, never per frame,
+  * checkpoints cursor + buffer + metrics at chunk boundaries every
+    `checkpoint_every` frames so a killed run resumes where it left off
+    (utils/checkpoint.py).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Iterator, Optional
+from typing import Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,9 +39,14 @@ def run_stream(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
     max_frames: Optional[int] = None,
+    batch: int = 8,
 ) -> checkpoint.StreamState:
     """Process a depth-frame stream with a fixed colour image (file-replay
-    style).  Returns the final StreamState with accumulated metrics."""
+    style).  Returns the final StreamState with accumulated metrics.
+
+    `batch` frames are processed per device dispatch; the stream's tail runs
+    as one smaller chunk (one extra compile per distinct tail size).
+    """
     h, w = color.shape[:2]
     state = checkpoint.load(checkpoint_path) if checkpoint_path else None
     if state is None:
@@ -50,25 +60,52 @@ def run_stream(
     c = jnp.asarray(color)
 
     @jax.jit
-    def step(buf: buffer2d.DepthBuffer, depth: jnp.ndarray):
-        buf = buffer2d.update(buf, depth)
-        res = kde_pipeline(depth, c, intr, cfg)
-        ref_pts = projective_to_real(buf.depth, intr)
-        err, n = metrics.mean_3d_error(res.optimized_points, ref_pts)
-        return buf, err, n
+    def chunk_step(buf: buffer2d.DepthBuffer, depths: jnp.ndarray):
+        """depths: [B, H, W].  KDE runs vmapped (frames are independent);
+        the temporal buffer + metric fold is a scan in the same executable."""
+        pts = jax.vmap(
+            lambda d: kde_pipeline(d, c, intr, cfg).optimized_points
+        )(depths)
 
+        def body(b, xs):
+            depth, p = xs
+            b = buffer2d.update(b, depth)
+            ref_pts = projective_to_real(b.depth, intr)
+            err, n = metrics.mean_3d_error(p, ref_pts)
+            return b, (err * n.astype(jnp.float32), n)
+
+        buf, (errs, ns) = jax.lax.scan(body, buf, (depths, pts))
+        return buf, jnp.sum(errs), jnp.sum(ns)
+
+    def flush(chunk: List[np.ndarray]) -> None:
+        if not chunk:
+            return
+        depths = jnp.asarray(np.stack(chunk))
+        buf, err_sum, n_sum = chunk_step(state.buffer, depths)
+        state.buffer = buf
+        # ONE host readback per chunk (two scalars), not per frame
+        state.metric_sums["kde_error_mm"] += float(err_sum)
+        state.metric_counts["kde_error_mm"] += int(n_sum)
+        state.frame_index += len(chunk)
+        chunk.clear()
+
+    pending: List[np.ndarray] = []
+    last_ckpt = state.frame_index
     for i, frame in enumerate(frames):
         if i < state.frame_index:
             continue  # fast-forward after resume
         if max_frames is not None and i >= max_frames:
             break
-        buf, err, n = step(state.buffer, jnp.asarray(frame))
-        state.buffer = buf
-        state.metric_sums["kde_error_mm"] += float(err) * float(n)
-        state.metric_counts["kde_error_mm"] += int(n)
-        state.frame_index = i + 1
-        if checkpoint_path and state.frame_index % checkpoint_every == 0:
-            checkpoint.save(checkpoint_path, state)
+        pending.append(np.asarray(frame))
+        if len(pending) == batch:
+            flush(pending)
+            if (
+                checkpoint_path
+                and state.frame_index - last_ckpt >= checkpoint_every
+            ):
+                checkpoint.save(checkpoint_path, state)
+                last_ckpt = state.frame_index
+    flush(pending)
 
     if checkpoint_path:
         checkpoint.save(checkpoint_path, state)

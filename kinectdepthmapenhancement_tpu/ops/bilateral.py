@@ -14,9 +14,16 @@ Numerical contracts kept from the reference:
     support (weight == 0) the output is 0
   * JBF pass 2: spatial x colour x depth-Gaussian, depth term measured
     against the pass-1 mean; 0 where the denominator vanishes
-  * the `if (filter_term != 0) filter *= term` guards in the CUDA code mean a
-    fully-underflowed colour/depth Gaussian contributes factor 1, not 0 —
-    replicated with jnp.where
+  * the `if (filter_term != 0) filter *= term` guards in the CUDA code are a
+    value-check proxy for "was this term computed": each term variable is
+    initialised to 0 and only assigned when its sigma != 0, so the guard's
+    intent is to skip UNSET terms.  The proxy misfires when the f32 Gaussian
+    underflows to exactly 0 (depth steps > ~264 mm at sigma_d=20), giving
+    far-in-depth neighbours FULL weight — measured to triple the depth RMSE
+    on the synthetic scene via thin bands of 100-900 mm errors along depth
+    edges.  FIXED (documented spec decision, SURVEY.md §2 bug policy): we
+    gate on the sigma directly — multiply the term iff its sigma != 0 — which
+    is the unambiguous intent; the oracle (tests/oracle.py) matches.
   * MRF: single Jacobi sweep, numerator seeded with the centre depth and
     denominator with 1 regardless of centre validity; colour weight is
     exp(-sigma_c * dc^2) (sigma multiplies — reference quirk, kept)
@@ -121,13 +128,10 @@ def _jbf_core(
     gpad = stencil.pad2d(guide, r, 0.0)
 
     def color_filter(nb_guide):
-        if color_sigma == 0.0:
-            return jnp.zeros((h, w), jnp.float32)
         return jnp.exp(-_color_dist2(guide, nb_guide) / (2.0 * color_sigma**2))
 
-    def apply_guard(filt, term):
-        # `if (term != 0) filter *= term` (JointBilateralFilter.cu:29-33)
-        return filt * jnp.where(term != 0.0, term, 1.0)
+    # terms are gated on their SIGMA, not their value (see module docstring:
+    # the reference's value-guards are a computed-or-not proxy, fixed here)
 
     # pass 1: spatial x colour weighted mean of valid depth
     wsum = jnp.zeros((h, w), jnp.float32)
@@ -136,9 +140,9 @@ def _jbf_core(
         nd = stencil.shift(dpad, dy, dx, r, (h, w))
         ng = stencil.shift(gpad, dy, dx, r, (h, w))
         valid = nd > VALID_DEPTH_MM
-        filt = jnp.ones((h, w), jnp.float32)
-        filt = apply_guard(filt, spatial[dy + r, dx + r])
-        filt = apply_guard(filt, color_filter(ng))
+        filt = jnp.broadcast_to(spatial[dy + r, dx + r], (h, w))
+        if color_sigma != 0.0:
+            filt = filt * color_filter(ng)
         filt = jnp.where(valid, filt, 0.0)
         dsum = dsum + nd * filt
         wsum = wsum + filt
@@ -151,12 +155,11 @@ def _jbf_core(
         nd = stencil.shift(dpad, dy, dx, r, (h, w))
         ng = stencil.shift(gpad, dy, dx, r, (h, w))
         valid = nd > VALID_DEPTH_MM
-        filt = jnp.ones((h, w), jnp.float32)
-        filt = apply_guard(filt, spatial[dy + r, dx + r])
-        filt = apply_guard(filt, color_filter(ng))
+        filt = jnp.broadcast_to(spatial[dy + r, dx + r], (h, w))
+        if color_sigma != 0.0:
+            filt = filt * color_filter(ng)
         if depth_sigma != 0.0:
-            dterm = jnp.exp(-jnp.square(nd - mean) / (2.0 * depth_sigma**2))
-            filt = apply_guard(filt, dterm)
+            filt = filt * jnp.exp(-jnp.square(nd - mean) / (2.0 * depth_sigma**2))
         filt = jnp.where(valid, filt, 0.0)
         num = num + nd * filt
         den = den + filt

@@ -19,10 +19,12 @@ labels/depth in place from many threads and tolerates the races (SURVEY.md
 
 depthmap_enhancement (cu:104-205) is a three-pass 7x7 bilateral:
 label-constrained weighted mean, label-constrained mean absolute deviation,
-then a filter whose colour sigma follows the reference's per-tap mutation
-(`color_sigma` is reassigned INSIDE the tap loop, so each valid tap k uses
-sigma_k with sigma_{k+1} = adaptive if adaptive > 0.3*sigma_k else
-0.3*sigma_k) — replicated with a 49-step unrolled recurrence.
+then an adaptive-colour-sigma bilateral.  The reference reassigns
+`color_sigma` INSIDE the tap loop (sigma_{k+1} = adaptive if adaptive >
+0.3*sigma_k else 0.3*sigma_k), collapsing sigma geometrically wherever the
+local deviation is small; only its value-guard quirk (underflowed terms
+skipped) keeps the filter functional.  FIXED (documented spec, see the
+pass-3 comment): sigma = max(adaptive, 0.3*sigma_0) once per pixel.
 """
 
 from __future__ import annotations
@@ -150,8 +152,9 @@ def depth_enhance(
     cpad = stencil.pad2d(cf, r, 0.0)
     lpad = stencil.pad2d(labels, r, -999999)
 
-    def guard(filt, term):
-        return filt * jnp.where(term != 0.0, term, 1.0)
+    # terms are gated on their SIGMA, not their value (the reference's
+    # `if (term != 0)` guards are a computed-or-not proxy that misfires on
+    # f32 underflow — fixed; see ops/bilateral.py docstring)
 
     # pass 1: label-constrained weighted mean
     wsum = jnp.zeros((h, w), jnp.float32)
@@ -161,11 +164,10 @@ def depth_enhance(
         ng = stencil.shift(cpad, dy, dx, r, (h, w))
         nl = stencil.shift(lpad, dy, dx, r, (h, w))
         ok = (nd > VALID_DEPTH_MM) & (nl == labels)
-        cdiff = jnp.sum(jnp.square(cf - ng), axis=-1)
-        cfilt = jnp.exp(-cdiff / (2.0 * p.color_sigma**2)) if p.color_sigma else 0.0
-        filt = jnp.ones((h, w), jnp.float32)
-        filt = guard(filt, spatial[dy + r, dx + r])
-        filt = guard(filt, cfilt)
+        filt = jnp.broadcast_to(spatial[dy + r, dx + r], (h, w))
+        if p.color_sigma:
+            cdiff = jnp.sum(jnp.square(cf - ng), axis=-1)
+            filt = filt * jnp.exp(-cdiff / (2.0 * p.color_sigma**2))
         filt = jnp.where(ok, filt, 0.0)
         dsum = dsum + nd * filt
         wsum = wsum + filt
@@ -182,30 +184,34 @@ def depth_enhance(
         cnt = cnt + ok
     dev = dev / jnp.where(cnt > 0, cnt, 1.0)
 
-    # pass 3: adaptive-sigma bilateral (NOT label-constrained); the colour
-    # sigma follows the reference's per-valid-tap mutation
+    # pass 3: adaptive-sigma bilateral (NOT label-constrained).
+    #
+    # Bug-fidelity decision (cu:170-179): the reference reassigns color_sigma
+    # INSIDE the tap loop — `sigma = adaptive if adaptive > 0.3*sigma else
+    # 0.3*sigma` per valid tap — so wherever adaptive is small the sigma
+    # COLLAPSES geometrically (50 -> 50*0.3^k), the colour Gaussian underflows
+    # to 0 for every tap, and only the value-guard quirk (terms skipped when
+    # exactly 0) keeps the filter functional by silently dropping the colour
+    # term.  The obvious intent of the clamp is a per-pixel floor, not a
+    # recurrence.  FIXED (documented spec): sigma_eff = max(adaptive,
+    # 0.3 * sigma_0) computed ONCE per pixel; terms are sigma-gated (see
+    # ops/bilateral.py on the fixed value-guard quirk).  oracle_ers.py matches.
     adaptive = 5.0 * dev / jnp.square(jnp.where(w_avg != 0.0, w_avg, 1.0))
-    sigma = jnp.full((h, w), p.color_sigma, jnp.float32)
+    sigma = jnp.maximum(adaptive, p.color_sigma * 0.3)
     num = jnp.zeros((h, w), jnp.float32)
     den = jnp.zeros((h, w), jnp.float32)
     for dy, dx in stencil.offsets(p.window):
         nd = stencil.shift(dpad, dy, dx, r, (h, w))
         ng = stencil.shift(cpad, dy, dx, r, (h, w))
         ok = nd > VALID_DEPTH_MM
-        # sigma update happens inside the tap for valid taps only
-        upd = jnp.where(adaptive > sigma * 0.3, adaptive, sigma * 0.3)
-        sigma = jnp.where(ok, upd, sigma)
-        cdiff = jnp.sum(jnp.square(cf - ng), axis=-1)
-        cfilt = jnp.exp(-cdiff / (2.0 * jnp.square(jnp.maximum(sigma, 1e-30))))
-        dfilt = (
-            jnp.exp(-jnp.square(nd - w_avg) / (2.0 * p.depth_sigma**2))
-            if p.depth_sigma
-            else 0.0
-        )
-        filt = jnp.ones((h, w), jnp.float32)
-        filt = guard(filt, spatial[dy + r, dx + r])
-        filt = guard(filt, cfilt)
-        filt = guard(filt, dfilt)
+        filt = jnp.broadcast_to(spatial[dy + r, dx + r], (h, w))
+        if p.color_sigma:
+            cdiff = jnp.sum(jnp.square(cf - ng), axis=-1)
+            filt = filt * jnp.exp(
+                -cdiff / (2.0 * jnp.square(jnp.maximum(sigma, 1e-30)))
+            )
+        if p.depth_sigma:
+            filt = filt * jnp.exp(-jnp.square(nd - w_avg) / (2.0 * p.depth_sigma**2))
         filt = jnp.where(ok, filt, 0.0)
         num = num + nd * filt
         den = den + filt

@@ -71,8 +71,11 @@ def _jbf_kernel(
         cdiff = (
             (g_c[0] - ng[0]) ** 2 + (g_c[1] - ng[1]) ** 2 + (g_c[2] - ng[2]) ** 2
         )
-        cfilt = jnp.exp(-cdiff / (2.0 * color_sigma**2))
-        base = spatial[dy + r][dx + r] * jnp.where(cfilt != 0.0, cfilt, 1.0)
+        # sigma-gated terms (see ops/bilateral.py docstring on the fixed
+        # value-guard quirk); sigmas are static Python floats here
+        base = jnp.full_like(nd, spatial[dy + r][dx + r])
+        if color_sigma != 0.0:
+            base = base * jnp.exp(-cdiff / (2.0 * color_sigma**2))
         return nd, valid, base
 
     # pass 1: spatial x colour weighted mean of valid depth
@@ -92,8 +95,9 @@ def _jbf_kernel(
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             nd, valid, base = tap_values(dy, dx)
-            dterm = jnp.exp(-((nd - mean) ** 2) / (2.0 * depth_sigma**2))
-            filt = base * jnp.where(dterm != 0.0, dterm, 1.0)
+            filt = base
+            if depth_sigma != 0.0:
+                filt = filt * jnp.exp(-((nd - mean) ** 2) / (2.0 * depth_sigma**2))
             filt = jnp.where(valid, filt, 0.0)
             num = num + nd * filt
             den = den + filt
@@ -141,8 +145,8 @@ def jbf_pallas(
         kernel,
         grid=(h // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),

@@ -3,7 +3,8 @@
 The XLA path in ops/normals.py (direct_cov_all) accumulates 441 shifted-window
 taps into [H, W, 10] running sums and snapshots a covariance at each of the 20
 window sizes; XLA materialises many of those intermediates in HBM, making this
-the most expensive stage of the KDE pipeline (~16 ms of a ~23 ms frame).
+the most expensive stage of the KDE pipeline (~17 ms of a ~29 ms frame on a
+v5e chip; the kernel runs the same sweep in ~2.1 ms).
 
 This kernel keeps a row-slab of the vertex map resident in VMEM and performs
 the whole incremental sweep on-chip: one HBM read of the inputs, one write of
@@ -11,11 +12,16 @@ the selected per-pixel (count, covariance) — the arithmetic, tap order, and
 size selection are identical to the XLA path (NormalMapGenerator.cu:244-302's
 nested windows; see ops/normals.py for the replicate/fix notes).
 
-Layout: channel-major vertex planes [3, Hpad, WP] with 16-column zero pads and
-WP rounded up to a lane multiple (640 -> 768).  Column shifts are pltpu.roll;
-a roll of <= MAX_R lanes only contaminates the zero pads, so the compute lanes
-see exact zero-pad semantics with no masks.  Row shifts are static slab
-slices.  Outputs are written at full padded width and sliced by the caller.
+Layout: channel-major vertex planes [B, 3, Hpad, WP] with 16-column zero pads
+and WP rounded up to a lane multiple (640 -> 768).  Column shifts are
+pltpu.roll; a roll of <= MAX_R lanes only contaminates the zero pads, so the
+compute lanes see exact zero-pad semantics with no masks.  Row shifts are
+static slab slices.  Outputs are written at full padded width and sliced by
+the caller.
+
+Batching: the grid iterates (batch, row-slab); jax.vmap dispatches here via a
+custom_vmap rule (the manual-DMA ANY-space inputs have no generic Pallas
+batching rule), so `jax.vmap(kde_pipeline)` works with the Pallas path on.
 """
 
 from __future__ import annotations
@@ -51,15 +57,16 @@ def _ring_taps():
 
 
 def _cov_kernel(vpad_hbm, rect_ref, out_ref, v_vmem, sem, *, tile: int, wp: int):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     cp = pltpu.make_async_copy(
-        vpad_hbm.at[:, pl.ds(i * tile, tile + 2 * HALO), :], v_vmem, sem
+        vpad_hbm.at[b, :, pl.ds(i * tile, tile + 2 * HALO), :], v_vmem, sem
     )
     cp.start()
     cp.wait()
 
     a = v_vmem[:, HALO : HALO + tile, :]  # [3, tile, wp] centre vertices
-    rect = rect_ref[:, :]
+    rect = rect_ref[0, :, :]
 
     zero = jnp.zeros((tile, wp), jnp.float32)
     cnt = zero
@@ -94,9 +101,74 @@ def _cov_kernel(vpad_hbm, rect_ref, out_ref, v_vmem, sem, *, tile: int, wp: int)
             jnp.where(sel, s2[e] - outer[e] / n_s, out_cov[e]) for e in range(6)
         ]
 
-    out_ref[0, :, :] = out_cnt
+    out_ref[0, 0, :, :] = out_cnt
     for e in range(6):
-        out_ref[1 + e, :, :] = out_cov[e]
+        out_ref[0, 1 + e, :, :] = out_cov[e]
+
+
+def _cm_covariances_batched(
+    vertices_m: jnp.ndarray,  # [B, H, W, 3]
+    rect: jnp.ndarray,        # [B, H, W] i32
+    *,
+    tile: int,
+    interpret: bool,
+):
+    bsz, h, w = rect.shape
+    hp = -(-h // tile) * tile  # pad rows to a tile multiple
+    wp = -(-(w + 2 * PADX) // 128) * 128
+    vpad = jnp.pad(
+        jnp.moveaxis(vertices_m, -1, 1),
+        ((0, 0), (0, 0), (HALO, HALO + hp - h), (PADX, wp - w - PADX)),
+    )
+    rpad = jnp.pad(rect, ((0, 0), (0, hp - h), (PADX, wp - w - PADX)))
+
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except AttributeError:  # older JAX spelling
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    kernel = functools.partial(_cov_kernel, tile=tile, wp=wp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, hp // tile),
+        compiler_params=compiler_params,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, tile, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 7, tile, wp), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, 7, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile + 2 * HALO, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(vpad, rpad)
+    out = out[:, :, :h, PADX : PADX + w]
+    return out[:, 0], jnp.moveaxis(out[:, 1:], 1, -1)
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def _cm_covariances_single(vertices_m: jnp.ndarray, rect: jnp.ndarray):
+    cnt, cov = _cm_covariances_batched(
+        vertices_m[None], rect[None], tile=48, interpret=False
+    )
+    return cnt[0], cov[0]
+
+
+@_cm_covariances_single.def_vmap
+def _cm_covariances_vmap(axis_size, in_batched, vertices_m, rect):
+    v_b, r_b = in_batched
+    if not v_b:
+        vertices_m = jnp.broadcast_to(vertices_m[None], (axis_size,) + vertices_m.shape)
+    if not r_b:
+        rect = jnp.broadcast_to(rect[None], (axis_size,) + rect.shape)
+    out = _cm_covariances_batched(vertices_m, rect, tile=48, interpret=False)
+    return out, (True, True)
 
 
 def cm_covariances(
@@ -110,32 +182,13 @@ def cm_covariances(
 
     vertices_m: [H, W, 3] f32 metres (zeros invalid); rect: [H, W] i32 window
     sizes.  Returns (cnt [H, W], cov entries [H, W, 6]) == the XLA path's
-    _per_size(rect, 2..21, direct snapshots).
-    """
-    h, w = rect.shape
-    hp = -(-h // tile) * tile  # pad rows to a tile multiple
-    wp = -(-(w + 2 * PADX) // 128) * 128
-    vpad = jnp.pad(
-        jnp.moveaxis(vertices_m, -1, 0),
-        ((0, 0), (HALO, HALO + hp - h), (PADX, wp - w - PADX)),
-    )
-    rpad = jnp.pad(rect, ((0, hp - h), (PADX, wp - w - PADX)))
+    _per_size(rect, 2..21, direct snapshots).  Bit-exact vs that path on TPU.
 
-    kernel = functools.partial(_cov_kernel, tile=tile, wp=wp)
-    out = pl.pallas_call(
-        kernel,
-        grid=(hp // tile,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((tile, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((7, tile, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((7, hp, wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((3, tile + 2 * HALO, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(vpad, rpad)
-    out = out[:, :h, PADX : PADX + w]
-    return out[0], jnp.moveaxis(out[1:], 0, -1)
+    Under jax.vmap the custom_vmap rule routes to the natively batched grid.
+    """
+    if interpret or tile != 48:
+        cnt, cov = _cm_covariances_batched(
+            vertices_m[None], rect[None], tile=tile, interpret=interpret
+        )
+        return cnt[0], cov[0]
+    return _cm_covariances_single(vertices_m, rect)

@@ -5,8 +5,10 @@ plane is tiled over 'x' (width axis).  The pipelines are pure jnp programs
 with static shapes, so XLA GSPMD partitions them from input shardings alone —
 stencil pads become halo exchanges, segment-sums over the 300-cluster tables
 become partial sums + AllReduce over ICI, and the tiny cluster-table
-fixpoints replicate.  A hand-written shard_map halo-exchange path for the
-stencil ops lives in parallel/halo.py and is used by the Pallas fast path.
+fixpoints replicate.  A hand-written shard_map halo-exchange path exists for
+the production JBF stencil (parallel/stencil_shard.py, built on
+parallel/halo.py) — bitwise-equal to the unsharded op and the only route for
+running the Pallas kernels on spatially tiled inputs.
 
 `dryrun(n)` is the driver hook: builds an n-device mesh, jits the FULL
 batched KDE step with real input shardings and runs one step on tiny shapes.
@@ -67,7 +69,20 @@ def dryrun(n_devices: int) -> None:
     out = step(depth, color)
     jax.block_until_ready(out)
     assert out.shape == (batch, h, w, 3)
+
+    # output parity vs an unsharded single-device run (same inputs): GSPMD
+    # partitioning must not change results beyond reduction reordering
+    single = jax.jit(
+        jax.vmap(lambda d, c: kde_pipeline(d, c, intr, cfg).optimized_points)
+    )
+    want = single(
+        jax.device_put(depth, jax.devices()[0]),
+        jax.device_put(color, jax.devices()[0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=1e-4, atol=0.5
+    )
     print(
         f"dryrun_multichip ok: mesh={dict(mesh.shape)} out={out.shape} "
-        f"sharding={out.sharding}"
+        f"sharding={out.sharding} parity=ok"
     )

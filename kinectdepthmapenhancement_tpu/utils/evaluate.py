@@ -11,7 +11,6 @@ Usage:
 from __future__ import annotations
 
 import sys
-import time
 from typing import Dict
 
 import jax
@@ -31,6 +30,7 @@ from kinectdepthmapenhancement_tpu.core.config import (
 from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
 from kinectdepthmapenhancement_tpu.models import pipelines
 from kinectdepthmapenhancement_tpu.utils import metrics
+from kinectdepthmapenhancement_tpu.utils.timing import time_pipeline
 
 
 def evaluate(
@@ -47,38 +47,49 @@ def evaluate(
     gt_pts = projective_to_real(jnp.asarray(gt_depth), intr)
     in_pts = projective_to_real(d, intr)
 
+    # each run takes (depth, color) so the timing harness can feed fresh,
+    # unique inputs per timed call (utils/timing.py: the runtime memoizes
+    # (executable, input) pairs, so repeat-timing identical inputs lies)
     runs = {
-        "input": lambda: in_pts,
-        "jbf": lambda: projective_to_real(
-            pipelines.jbf_pipeline(d, c), intr
+        "input": lambda dd, cc: projective_to_real(dd, intr),
+        "jbf": lambda dd, cc: projective_to_real(
+            pipelines.jbf_pipeline(dd, cc), intr
         ),
-        "mrf": lambda: projective_to_real(
-            pipelines.mrf_pipeline(d, c), intr
+        "mrf": lambda dd, cc: projective_to_real(
+            pipelines.mrf_pipeline(dd, cc), intr
         ),
-        "rgbf": lambda: projective_to_real(
-            pipelines.rgbf_pipeline(d, in_pts, c, RGBFConfig()).refined_depth, intr
+        "rgbf": lambda dd, cc: projective_to_real(
+            pipelines.rgbf_pipeline(
+                dd, projective_to_real(dd, intr), cc, RGBFConfig()
+            ).refined_depth,
+            intr,
         ),
-        "kde": lambda: pipelines.kde_pipeline(d, c, intr, KDEConfig()).optimized_points,
+        "kde": lambda dd, cc: pipelines.kde_pipeline(
+            dd, cc, intr, KDEConfig()
+        ).optimized_points,
     }
     if include_sp_methods:
-        runs["spdsp"] = lambda: pipelines.spdsp_pipeline(
-            d, in_pts, c, intr, SPDSPConfig()
+        runs["spdsp"] = lambda dd, cc: pipelines.spdsp_pipeline(
+            dd, projective_to_real(dd, intr), cc, intr, SPDSPConfig()
         ).optimized_points
-        runs["tof"] = lambda: pipelines.tof_pipeline(
-            d, in_pts, c, intr, TOFConfig()
+        runs["tof"] = lambda dd, cc: pipelines.tof_pipeline(
+            dd, projective_to_real(dd, intr), cc, intr, TOFConfig()
         ).plane_fitted
+
+    rng = np.random.default_rng(12345)
+
+    def make_args(_i):
+        jitter = rng.normal(0.0, 1e-3, depth.shape).astype(np.float32)
+        return (jnp.asarray(depth + jitter), c)
 
     out: Dict[str, Dict[str, float]] = {}
     for name, fn in runs.items():
-        jit_fn = jax.jit(fn)
-        pts = jax.block_until_ready(jit_fn())  # compile + run
-        t0 = time.perf_counter()
-        pts = jax.block_until_ready(jit_fn())
-        dt = time.perf_counter() - t0
+        stats = time_pipeline(fn, make_args, iters=5)
+        pts = jax.block_until_ready(jax.jit(fn)(d, c))
         err, n = metrics.mean_3d_error(pts, gt_pts)
         rmse = metrics.depth_rmse(pts[..., 2], jnp.asarray(gt_depth))
         out[name] = {
-            "time_ms": dt * 1e3,
+            "time_ms": stats["median_s"] * 1e3,
             "mean_3d_error_mm": float(err),
             "rmse_mm": float(rmse),
             "valid_px": int(n),
@@ -86,10 +97,11 @@ def evaluate(
     return out
 
 
-def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else "evaluation.txt"
+def main(path: str | None = None, include_sp_methods: bool = False) -> None:
+    if path is None:
+        path = sys.argv[1] if len(sys.argv) > 1 else "evaluation.txt"
     color, noisy, gt = make_noisy_scene(480, 640, default_kinect_intrinsics(), seed=0)
-    results = evaluate(noisy, color, gt)
+    results = evaluate(noisy, color, gt, include_sp_methods=include_sp_methods)
     lines = ["runtime"]
     for name, r in results.items():
         lines.append(f"{name}: {r['time_ms']:.3f} ms")

@@ -63,9 +63,10 @@ def depth_histogram_image(
     Kinect/Kinect.cpp:108-151 — the NiSimpleViewer algorithm).
 
     The cumulative histogram over integer-mm depth maps each valid pixel to
-    `256*(1 - cdf(z))` in the G and B channels (yellow-ish near, black far
-    in the reference's BGR layout); z==0 stays at bin 0's value like the
-    reference (whose final loop does not re-test validity).  Jittable.
+    `256*(1 - cdf(z))` in the G and R channels of the BGR image (blue stays
+    0 — cv::Vec3b(0, v, v) — so near is yellow, far black); z==0 stays at
+    bin 0's value like the reference (whose final loop does not re-test
+    validity).  Jittable.
     """
     z = jnp.clip(depth.astype(jnp.int32), 0, max_depth_mm - 1)
     valid = z > 0
@@ -82,14 +83,23 @@ def depth_histogram_image(
 
 
 def point_cloud(
-    points_mm: jnp.ndarray, color: jnp.ndarray | None = None
+    points_mm: jnp.ndarray,
+    color: jnp.ndarray | None = None,
+    *,
+    max_depth_mm: float = 15000.0,
+    flip_z: bool = False,
 ) -> np.ndarray:
     """Flatten a [H, W, 3] point map (mm) to an [N, 6] xyzrgb array in
-    metres, dropping invalid (z<=50mm) points — the reference's PCL cloud
-    construction (main.cpp:234-301, cloud_input->points push_back)."""
+    metres, keeping points with 50 < z < max_depth_mm — the reference's PCL
+    cloud construction (main.cpp:234-301: both near and far culls).  The
+    reference also stores z NEGATED (point.z = -z/1000, a PCL camera-frame
+    convention); pass flip_z=True for that exact convention — the default
+    keeps +z forward, which most PLY viewers expect."""
     pts = np.asarray(points_mm, np.float32).reshape(-1, 3)
-    ok = pts[:, 2] > 50.0
+    ok = (pts[:, 2] > 50.0) & (pts[:, 2] < max_depth_mm)
     xyz = pts[ok] / 1000.0
+    if flip_z:
+        xyz = xyz * np.array([1.0, 1.0, -1.0], np.float32)
     if color is None:
         rgb = np.full_like(xyz, 255.0)
     else:
@@ -130,3 +140,23 @@ def save_png(path: str, image: jnp.ndarray) -> None:
     from PIL import Image
 
     Image.fromarray(np.asarray(image)).save(path)
+
+
+def save_video(path: str, frames, fps: float = 30.0) -> None:
+    """Write a frame sequence as an animated GIF — the analog of the
+    reference's per-run segmentation cv::VideoWriter
+    (SuperpixelSegmentation.cpp:9, 30 fps XVID).  `frames` is an iterable of
+    u8 [H, W, 3] arrays; GIF is the codec-free container PIL can always
+    write (path should end in .gif)."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(np.asarray(f)) for f in frames]
+    if not imgs:
+        raise ValueError("no frames")
+    imgs[0].save(
+        path,
+        save_all=True,
+        append_images=imgs[1:],
+        duration=int(round(1000.0 / fps)),
+        loop=0,
+    )

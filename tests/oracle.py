@@ -54,7 +54,14 @@ def joint_bilateral_filter(
     depth_sigma=20.0,
 ):
     """joint_bilateral_filtering (JointBilateralFilter.cu:4-83); `guide` is the
-    already-smoothed colour image."""
+    already-smoothed colour image.
+
+    Bug-fidelity decision (matches ops/bilateral.py): the reference's
+    `if (term != 0) filter *= term` value-guards are a proxy for "was the term
+    computed" (terms are initialised to 0 and only assigned when their sigma
+    != 0); the proxy misfires when the f32 Gaussian underflows across large
+    depth steps, giving far neighbours full weight.  FIXED: terms multiply
+    iff their sigma != 0."""
     h, w = depth.shape
     r = window // 2
     g = guide.astype(np.float64)
@@ -74,16 +81,9 @@ def joint_bilateral_filter(
                     yy, xx = y + dy, x + dx
                     if 0 <= yy < h and 0 <= xx < w and depth[yy, xx] > VALID:
                         cd = g[y, x] - g[yy, xx]
-                        cfil = (
-                            np.exp(-np.dot(cd, cd) / (2 * color_sigma**2))
-                            if color_sigma != 0.0
-                            else 0.0
-                        )
-                        filt = 1.0
-                        if spatial[dy + r, dx + r] != 0.0:
-                            filt *= spatial[dy + r, dx + r]
-                        if cfil != 0.0:
-                            filt *= cfil
+                        filt = spatial[dy + r, dx + r]
+                        if color_sigma != 0.0:
+                            filt *= np.exp(-np.dot(cd, cd) / (2 * color_sigma**2))
                         wavg += depth[yy, xx] * filt
                         wsum += filt
             if wsum <= 0.0:
@@ -97,35 +97,13 @@ def joint_bilateral_filter(
                     yy, xx = y + dy, x + dx
                     if 0 <= yy < h and 0 <= xx < w and depth[yy, xx] > VALID:
                         cd = g[y, x] - g[yy, xx]
-                        cfil = (
-                            np.exp(-np.dot(cd, cd) / (2 * color_sigma**2))
-                            if color_sigma != 0.0
-                            else 0.0
-                        )
-                        # the reference computes this Gaussian in float32
-                        # (JointBilateralFilter.cu:59); for large depth steps
-                        # it underflows to exactly 0 and the `if (term != 0)`
-                        # guard then SKIPS the term — emulate f32 underflow so
-                        # the oracle takes the same branch
-                        dfil = (
-                            float(
-                                np.float32(
-                                    np.exp(
-                                        -((depth[yy, xx] - wavg) ** 2)
-                                        / (2 * depth_sigma**2)
-                                    )
-                                )
+                        filt = spatial[dy + r, dx + r]
+                        if color_sigma != 0.0:
+                            filt *= np.exp(-np.dot(cd, cd) / (2 * color_sigma**2))
+                        if depth_sigma != 0.0:
+                            filt *= np.exp(
+                                -((depth[yy, xx] - wavg) ** 2) / (2 * depth_sigma**2)
                             )
-                            if depth_sigma != 0.0
-                            else 0.0
-                        )
-                        filt = 1.0
-                        if spatial[dy + r, dx + r] != 0.0:
-                            filt *= spatial[dy + r, dx + r]
-                        if cfil != 0.0:
-                            filt *= cfil
-                        if dfil != 0.0:
-                            filt *= dfil
                         num += depth[yy, xx] * filt
                         den += filt
             out[y, x] = 0.0 if den == 0.0 else num / den

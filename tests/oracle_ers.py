@@ -88,12 +88,11 @@ def depth_enhance(depth, labels, color, window=7, ss=30.0, sc=50.0, sd=70.0):
                         and labels[y, x] == labels[yy, xx]
                     ):
                         cd = cf[y, x] - cf[yy, xx]
-                        cfil = np.exp(-np.dot(cd, cd) / (2 * sc**2)) if sc else 0.0
-                        filt = 1.0
-                        if spatial[dy + r, dx + r] != 0.0:
-                            filt *= spatial[dy + r, dx + r]
-                        if cfil != 0.0:
-                            filt *= cfil
+                        # sigma-gated terms (fixed value-guard quirk, see
+                        # tests/oracle.py::joint_bilateral_filter)
+                        filt = spatial[dy + r, dx + r]
+                        if sc:
+                            filt *= np.exp(-np.dot(cd, cd) / (2 * sc**2))
                         wavg += depth[yy, xx] * filt
                         wsum += filt
             if wsum <= 0.0:
@@ -116,57 +115,27 @@ def depth_enhance(depth, labels, color, window=7, ss=30.0, sc=50.0, sd=70.0):
                 dev /= cnt
             num = 0.0
             den = 0.0
-            # the sigma recurrence compounds *0.3 per tap; run it in f32 like
-            # the device (everything else stays f64)
-            sigma = np.float32(sc)
+            # adaptive sigma computed ONCE per pixel (fixed recurrence bug,
+            # see ops/ers.py pass-3 notes): sigma = max(adaptive, 0.3*sigma_0)
             adaptive = np.float32(5.0) * np.float32(dev) / np.float32(
                 wavg * wavg if wavg != 0.0 else 1.0
             )
+            sigma = max(adaptive, np.float32(sc) * np.float32(0.3))
             for dy in range(-r, r + 1):
                 for dx in range(-r, r + 1):
                     yy, xx = y + dy, x + dx
                     if 0 <= yy < h and 0 <= xx < w and depth[yy, xx] > VALID:
-                        if adaptive > sigma * np.float32(0.3):
-                            sigma = adaptive
-                        else:
-                            sigma = sigma * np.float32(0.3)
-                        cd = cf[y, x] - cf[yy, xx]
-                        # the reference computes these Gaussians in float32,
-                        # where args below ~-87 underflow to 0 and the
-                        # `if (term != 0)` guard then SKIPS the term (factor
-                        # 1, tap fully alive); in f64 the term stays a tiny
-                        # nonzero and kills the tap.  Emulate f32.
-                        cfil = float(
-                            np.float32(
-                                np.exp(
-                                    np.float32(
-                                        -np.dot(cd, cd)
-                                        / (2 * max(sigma, 1e-30) ** 2)
-                                    )
-                                )
+                        filt = spatial[dy + r, dx + r]
+                        # sigma-gated terms (fixed value-guard quirk)
+                        if sc:
+                            cd = cf[y, x] - cf[yy, xx]
+                            filt *= np.exp(
+                                -np.dot(cd, cd) / (2 * max(sigma, 1e-30) ** 2)
                             )
-                        )
-                        dfil = (
-                            float(
-                                np.float32(
-                                    np.exp(
-                                        np.float32(
-                                            -((depth[yy, xx] - wavg) ** 2)
-                                            / (2 * sd**2)
-                                        )
-                                    )
-                                )
+                        if sd:
+                            filt *= np.exp(
+                                -((depth[yy, xx] - wavg) ** 2) / (2 * sd**2)
                             )
-                            if sd
-                            else 0.0
-                        )
-                        filt = 1.0
-                        if spatial[dy + r, dx + r] != 0.0:
-                            filt *= spatial[dy + r, dx + r]
-                        if cfil != 0.0:
-                            filt *= cfil
-                        if dfil != 0.0:
-                            filt *= dfil
                         num += depth[yy, xx] * filt
                         den += filt
             out[y, x] = 0.0 if den == 0.0 else num / den

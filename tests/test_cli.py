@@ -1,0 +1,51 @@
+"""CLI round-trip: enhance a small frame end-to-end through the file-replay
+path (main.cpp:139-163 analog)."""
+
+import numpy as np
+
+from kinectdepthmapenhancement_tpu import cli
+from kinectdepthmapenhancement_tpu.core import io
+from kinectdepthmapenhancement_tpu.core.camera import default_kinect_intrinsics
+from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
+
+
+def test_cli_enhance_jbf(tmp_path):
+    h, w = 48, 64
+    intr = default_kinect_intrinsics(w, h)
+    color, noisy, gt = make_noisy_scene(h, w, intr, seed=4)
+
+    depth_xml = str(tmp_path / "depth.xml")
+    color_png = str(tmp_path / "color.png")
+    io.write_filestorage_xml(depth_xml, {"depth": noisy})
+    from PIL import Image
+
+    Image.fromarray(color).save(color_png)
+
+    out_xml = str(tmp_path / "refined.xml")
+    ply = str(tmp_path / "cloud.ply")
+    png = str(tmp_path / "depth.png")
+    rc = cli.main(
+        [
+            "enhance",
+            "--depth", depth_xml,
+            "--color", color_png,
+            "--pipeline", "jbf",
+            "--out", out_xml,
+            "--ply", ply,
+            "--png", png,
+        ]
+    )
+    assert rc == 0
+    refined = io.read_filestorage_xml(out_xml)["depth"]
+    assert refined.shape == (h, w)
+    assert np.isfinite(refined).all()
+    # JBF must actually have refined: output differs from input but stays in
+    # the scene's depth range
+    assert not np.array_equal(refined, noisy)
+    valid = refined > 50.0
+    assert valid.mean() > 0.8
+    assert (refined[valid] < 15000.0).all()
+    assert open(ply).readline().strip() == "ply"
+    from PIL import Image as I2
+
+    assert I2.open(png).size == (w, h)

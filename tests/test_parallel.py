@@ -5,7 +5,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
 
 from kinectdepthmapenhancement_tpu.core.camera import default_kinect_intrinsics
 from kinectdepthmapenhancement_tpu.core.config import GridParams, KDEConfig
@@ -75,6 +78,44 @@ def test_sharded_kde_matches_single_device():
     )
     want = np.asarray(single(depth, color))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.5)
+
+
+@requires_8
+def test_jbf_sharded_bitwise_small():
+    """Halo-routed production JBF (parallel/stencil_shard.py) == unsharded op
+    bitwise, at spatial=8 so every shard is skinny and edge fixups matter."""
+    from kinectdepthmapenhancement_tpu.ops import bilateral
+    from kinectdepthmapenhancement_tpu.parallel.stencil_shard import jbf_sharded
+
+    mesh = make_mesh(8, spatial=8)
+    h, w = 48, 64
+    rng = np.random.default_rng(5)
+    depth = rng.uniform(400.0, 4000.0, (h, w)).astype(np.float32)
+    depth[rng.random((h, w)) < 0.1] = 0.0  # invalid holes
+    color = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    d, c = jnp.asarray(depth), jnp.asarray(color)
+
+    got = np.asarray(jax.jit(lambda a, b: jbf_sharded(a, b, mesh))(d, c))
+    want = np.asarray(jax.jit(bilateral.joint_bilateral_filter)(d, c))
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_8
+@pytest.mark.full
+def test_jbf_sharded_bitwise_full_res():
+    """VERDICT #7: full 640x480 at spatial=4 through the halo path."""
+    from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
+    from kinectdepthmapenhancement_tpu.ops import bilateral
+    from kinectdepthmapenhancement_tpu.parallel.stencil_shard import jbf_sharded
+
+    mesh = make_mesh(4, spatial=4)
+    intr = default_kinect_intrinsics()
+    color, noisy, _ = make_noisy_scene(480, 640, intr, seed=2)
+    d, c = jnp.asarray(noisy), jnp.asarray(color)
+
+    got = np.asarray(jax.jit(lambda a, b: jbf_sharded(a, b, mesh))(d, c))
+    want = np.asarray(jax.jit(bilateral.joint_bilateral_filter)(d, c))
+    np.testing.assert_array_equal(got, want)
 
 
 @requires_8

@@ -42,6 +42,31 @@ def test_stream_runs_and_checkpoints(tmp_path):
     assert float(jnp.max(state2.buffer.weight)) >= 4.0
 
 
+import pytest
+
+
+@pytest.mark.full
+def test_stream_batch_size_invariant():
+    """Chunked dispatch (models/streaming.py) is a pure throughput
+    optimisation: metrics and final buffer are identical for batch=1 and
+    batch=3 (the scan inside the chunk preserves frame order)."""
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    color, noisy, gt = make_noisy_scene(h, w, intr, seed=2)
+    cfg = dataclasses.replace(KDEConfig(), grid=GridParams(3, 4))
+
+    s1 = streaming.run_stream(_frames(gt, 5), color, intr, cfg=cfg, batch=1)
+    s3 = streaming.run_stream(_frames(gt, 5), color, intr, cfg=cfg, batch=3)
+    assert s1.frame_index == s3.frame_index == 5
+    assert s1.metric_counts == s3.metric_counts
+    np.testing.assert_allclose(
+        s1.metric_sums["kde_error_mm"], s3.metric_sums["kde_error_mm"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.buffer.depth), np.asarray(s3.buffer.depth), rtol=1e-6
+    )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from kinectdepthmapenhancement_tpu.core import buffer2d
 
@@ -93,6 +118,18 @@ def test_depth_histogram_image():
     assert g[0, 1] == int(np.float32(256.0 * (1 - 2 / 6)))
     assert g[0, 3] == int(np.float32(256.0 * (1 - 5 / 6)))
     assert g[1, 3] == 0
+
+
+def test_save_video(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (16, 24, 3), dtype=np.uint8) for _ in range(4)]
+    p = tmp_path / "seg.gif"
+    visualize.save_video(str(p), frames, fps=30.0)
+    from PIL import Image
+
+    with Image.open(p) as im:
+        assert im.n_frames == 4
+        assert im.size == (24, 16)
 
 
 def test_point_cloud_and_ply(tmp_path, small_scene):
