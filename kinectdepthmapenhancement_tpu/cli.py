@@ -105,7 +105,24 @@ def _cmd_enhance(args: argparse.Namespace) -> int:
 def _cmd_evaluate(args: argparse.Namespace) -> int:
     from kinectdepthmapenhancement_tpu.utils import evaluate
 
-    evaluate.main(args.out, include_sp_methods=args.full)
+    grid = None
+    if args.grid:
+        from kinectdepthmapenhancement_tpu.core.config import GridParams
+
+        rows, cols = (int(t) for t in args.grid.lower().split("x"))
+        grid = GridParams(rows=rows, cols=cols)
+    if args.tum:
+        results = evaluate.evaluate_tum(
+            args.tum,
+            frames=args.frames,
+            include_sp_methods=args.full,
+            grid=grid,
+            timing_iters=args.timing_iters,
+            methods=args.methods.split(",") if args.methods else None,
+        )
+        print(evaluate.write_report(args.out, results))
+    else:
+        evaluate.main(args.out, include_sp_methods=args.full)
     return 0
 
 
@@ -130,6 +147,23 @@ def main(argv=None) -> int:
     ev = sub.add_parser("evaluate", help="timing + accuracy harness (evaluation.txt)")
     ev.add_argument("out", help="output text file")
     ev.add_argument("--full", action="store_true", help="include SPDSP/TOF")
+    ev.add_argument(
+        "--tum",
+        help="TUM RGB-D sequence dir: evaluate a real frame against the "
+        "temporally-accumulated pseudo-GT (capture protocol, main.cpp:86-116)",
+    )
+    ev.add_argument(
+        "--frames", type=int, default=30,
+        help="frames folded into the pseudo-GT accumulator (with --tum)",
+    )
+    ev.add_argument("--grid", help="superpixel grid ROWSxCOLS override, e.g. 3x4")
+    ev.add_argument(
+        "--methods",
+        help="comma-separated subset to run (with --tum), e.g. input,jbf,kde",
+    )
+    ev.add_argument(
+        "--timing-iters", type=int, default=5, help="timed repetitions per method"
+    )
     ev.set_defaults(fn=_cmd_evaluate)
 
     args = ap.parse_args(argv)

@@ -166,6 +166,13 @@ class KDEConfig(PipelineConfig):
     min_cluster_size: int = 1300
     agree_tight: float = 0.01
     agree_loose: float = 0.03
+    # Plane-confidence gate (spec EXTENSION over the reference; see
+    # ops/plane.py::plane_fit_residual): snap to a merged plane only when it
+    # explains the cluster's own depths to a relative RMS residual below
+    # this.  Post-JBF noise sits at 0.05-0.2% of z; mis-merged planes on
+    # textured scenes sit at >= 0.6%.  0 disables snapping entirely;
+    # float('inf') restores exact reference behaviour.
+    max_plane_residual: float = 0.0025
 
 
 @dataclasses.dataclass(frozen=True)

@@ -139,6 +139,10 @@ def kde_pipeline(
         plane_fitted = plane.set_pseudo_depth_map(
             points, rays, merged.nd_map, merged.labels, merged.variance
         )
+        resid = plane.plane_fit_residual(
+            points, plane_fitted, merged.labels, cfg.grid.num_clusters,
+            index=nasp_cell, rep=merged.rep if nasp_cell is not None else None,
+        )
         optimized = plane.variance_optimization(
             points,
             plane_fitted,
@@ -148,6 +152,8 @@ def kde_pipeline(
             min_cluster_size=cfg.min_cluster_size,
             agree_tight=cfg.agree_tight,
             agree_loose=cfg.agree_loose,
+            fit_residual=resid,
+            max_fit_residual=cfg.max_plane_residual,
         )
         optimized = plane.depth_bilateral(optimized, rays, cfg.projection)
     return KDEResult(

@@ -56,6 +56,7 @@ class MergeResult(NamedTuple):
     cluster_nd: jnp.ndarray   # [K, 4] f32: per merged-cluster plane
     eigenvalues: jnp.ndarray  # [K] f32 (PCA variant; zeros otherwise)
     eigen_map: jnp.ndarray    # [H, W] f32 (PCA variant; zeros otherwise)
+    rep: jnp.ndarray          # [K] i32: component representative per ORIGINAL id
 
 
 def _adjacency(idx) -> jnp.ndarray:
@@ -189,6 +190,7 @@ def _merge(
         cluster_nd=merged_nd_k,
         eigenvalues=eig_k,
         eigen_map=eig_map,
+        rep=rep,
     )
 
 

@@ -113,6 +113,53 @@ def set_pseudo_depth_normals(
     return jnp.where(gate[..., None], proj, points)
 
 
+def plane_fit_residual(
+    points: jnp.ndarray,
+    plane_fitted: jnp.ndarray,
+    labels: jnp.ndarray,
+    k: int,
+    *,
+    index=None,
+    rep: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Per-cluster relative RMS plane-fit residual: how well each cluster's
+    plane explains the cluster's OWN depths.
+
+    resid[c] = sqrt(mean over member pixels of ((z_plane - z)/z)^2), over
+    pixels with label c and valid depth.  A well-merged planar cluster lands
+    at the post-filter noise level (~0.05-0.2% of z); a cluster whose merge
+    spanned multiple surfaces (mean normal tilted / offset averaged across
+    planes) lands at >= 1%.  Used as a plane-confidence gate by
+    variance_optimization — a deliberate extension over the reference
+    (Projection_GPU.cu:174-196 trusts every coherent-normal plane, which on
+    textured scenes snaps 60% of pixels onto mis-fit planes; see the
+    real-frame gate in tests/test_oracle_pipeline.py).
+
+    When `index` (a slic label index over the ORIGINAL superpixel labels)
+    and `rep` (the [K] merge representative from ccl) are given, the pixel
+    sums are keyed by the original labels (reusing the cell-local one-hot
+    XLA already built for SLIC/CCL) and folded K-side by `rep` — no extra
+    [H*W, K] one-hot.  `labels` must then be the MERGED labels of the same
+    frame; both paths produce the same residuals for valid clusters.
+    """
+    z = points[..., 2]
+    zp = plane_fitted[..., 2]
+    if index is not None and rep is not None:
+        ok = (z > VALID_DEPTH_MM) & (index.labels >= 0)
+        rel2 = jnp.where(ok, jnp.square((zp - z) / jnp.maximum(z, 1.0)), 0.0)
+        feats = jnp.stack([rel2, ok.astype(jnp.float32)], -1)
+        s_orig = index.segment_sum(feats, index.labels >= 0)   # [K, 2]
+        sums = tables.segment_sum(s_orig, rep, k)              # tiny fold
+    else:
+        ok = (z > VALID_DEPTH_MM) & (labels >= 0)
+        rel2 = jnp.where(ok, jnp.square((zp - z) / jnp.maximum(z, 1.0)), 0.0)
+        feats = jnp.stack(
+            [rel2.reshape(-1), ok.reshape(-1).astype(jnp.float32)], -1
+        )
+        sums = tables.segment_sum(feats, labels.reshape(-1), k)
+    return jnp.sqrt(sums[:, 0] / jnp.maximum(sums[:, 1], 1.0))
+
+
 def variance_optimization(
     optimized: jnp.ndarray,
     plane_fitted: jnp.ndarray,
@@ -123,11 +170,20 @@ def variance_optimization(
     min_cluster_size: int = 1300,
     agree_tight: float = 0.01,
     agree_loose: float = 0.03,
+    fit_residual: jnp.ndarray | None = None,
+    max_fit_residual: float = 0.0,
 ) -> jnp.ndarray:
     """variance_optimization (Projection_GPU.cu:174-196): where the plane fit
     agrees with the current depth within 3%, a big (>1300 px) coherent
     cluster snaps (within 1%) or blends (by variance) toward the plane.
-    Only z (and x, y via later ray multiplication) of gated pixels change."""
+    Only z (and x, y via later ray multiplication) of gated pixels change.
+
+    fit_residual (optional, [K] from plane_fit_residual): plane-confidence
+    gate — clusters whose plane mis-fits their own depths by more than
+    max_fit_residual (relative RMS) are left untouched.  The reference has
+    no such gate; without it, planes averaged across multiple surfaces drag
+    every pixel they pass within 3% of onto themselves (documented spec
+    extension; None preserves reference behaviour exactly)."""
     zo = optimized[..., 2]
     zp = plane_fitted[..., 2]
     diff = jnp.abs(zo - zp)
@@ -147,6 +203,8 @@ def variance_optimization(
         & (var > COS_PI_8)
         & (size > min_cluster_size)
     )
+    if fit_residual is not None:
+        gate = gate & (tables.gather(fit_residual, labels) < max_fit_residual)
     snap = diff < zo * agree_tight
     blended = zp * var + zo * (1.0 - var)
     new_z = jnp.where(gate, jnp.where(snap, zp, blended), zo)

@@ -10,18 +10,21 @@ Usage:
 
 from __future__ import annotations
 
+import dataclasses
 import sys
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from kinectdepthmapenhancement_tpu.core.camera import (
+    Intrinsics,
     default_kinect_intrinsics,
     projective_to_real,
 )
 from kinectdepthmapenhancement_tpu.core.config import (
+    GridParams,
     KDEConfig,
     RGBFConfig,
     SPDSPConfig,
@@ -39,9 +42,18 @@ def evaluate(
     gt_depth: np.ndarray,
     *,
     include_sp_methods: bool = True,
+    intr: Optional[Intrinsics] = None,
+    grid: Optional[GridParams] = None,
+    timing_iters: int = 5,
+    methods: Optional[list] = None,
 ) -> Dict[str, Dict[str, float]]:
     h, w = depth.shape
-    intr = default_kinect_intrinsics(w, h)
+    if intr is None:
+        intr = default_kinect_intrinsics(w, h)
+    kde_cfg = KDEConfig() if grid is None else dataclasses.replace(KDEConfig(), grid=grid)
+    rgbf_cfg = RGBFConfig() if grid is None else dataclasses.replace(RGBFConfig(), grid=grid)
+    spdsp_cfg = SPDSPConfig() if grid is None else dataclasses.replace(SPDSPConfig(), grid=grid)
+    tof_cfg = TOFConfig() if grid is None else dataclasses.replace(TOFConfig(), grid=grid)
     d = jnp.asarray(depth)
     c = jnp.asarray(color)
     gt_pts = projective_to_real(jnp.asarray(gt_depth), intr)
@@ -60,21 +72,27 @@ def evaluate(
         ),
         "rgbf": lambda dd, cc: projective_to_real(
             pipelines.rgbf_pipeline(
-                dd, projective_to_real(dd, intr), cc, RGBFConfig()
+                dd, projective_to_real(dd, intr), cc, rgbf_cfg
             ).refined_depth,
             intr,
         ),
         "kde": lambda dd, cc: pipelines.kde_pipeline(
-            dd, cc, intr, KDEConfig()
+            dd, cc, intr, kde_cfg
         ).optimized_points,
     }
     if include_sp_methods:
         runs["spdsp"] = lambda dd, cc: pipelines.spdsp_pipeline(
-            dd, projective_to_real(dd, intr), cc, intr, SPDSPConfig()
+            dd, projective_to_real(dd, intr), cc, intr, spdsp_cfg
         ).optimized_points
         runs["tof"] = lambda dd, cc: pipelines.tof_pipeline(
-            dd, projective_to_real(dd, intr), cc, intr, TOFConfig()
+            dd, projective_to_real(dd, intr), cc, intr, tof_cfg
         ).plane_fitted
+
+    if methods is not None:
+        unknown = set(methods) - set(runs)
+        if unknown:
+            raise ValueError(f"unknown methods {sorted(unknown)} (have {list(runs)})")
+        runs = {k: v for k, v in runs.items() if k in methods}
 
     rng = np.random.default_rng(12345)
 
@@ -84,7 +102,7 @@ def evaluate(
 
     out: Dict[str, Dict[str, float]] = {}
     for name, fn in runs.items():
-        stats = time_pipeline(fn, make_args, iters=5)
+        stats = time_pipeline(fn, make_args, iters=timing_iters)
         pts = jax.block_until_ready(jax.jit(fn)(d, c))
         err, n = metrics.mean_3d_error(pts, gt_pts)
         rmse = metrics.depth_rmse(pts[..., 2], jnp.asarray(gt_depth))
@@ -97,11 +115,48 @@ def evaluate(
     return out
 
 
-def main(path: str | None = None, include_sp_methods: bool = False) -> None:
-    if path is None:
-        path = sys.argv[1] if len(sys.argv) > 1 else "evaluation.txt"
-    color, noisy, gt = make_noisy_scene(480, 640, default_kinect_intrinsics(), seed=0)
-    results = evaluate(noisy, color, gt, include_sp_methods=include_sp_methods)
+def evaluate_tum(
+    root: str,
+    *,
+    frames: int = 30,
+    eval_index: Optional[int] = None,
+    include_sp_methods: bool = False,
+    grid: Optional[GridParams] = None,
+    timing_iters: int = 5,
+    methods: Optional[list] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Evaluate on a REAL RGB-D sequence (TUM layout) using the reference's
+    own capture protocol (main.cpp:86-116): fold the sequence's depth frames
+    through the Buffer2D gated weighted average to form a temporally-averaged
+    pseudo-ground-truth, then run every method on one frame against it."""
+    from kinectdepthmapenhancement_tpu.core import buffer2d
+    from kinectdepthmapenhancement_tpu.core.datasets import TUMSequence
+
+    seq = TUMSequence(root)
+    if len(seq) == 0:
+        raise ValueError(f"{root}: no associated rgb/depth pairs")
+    n = min(frames, len(seq))
+    first = seq[0]
+    h, w = first.depth.shape
+    buf = buffer2d.init(h, w)
+    step = jax.jit(buffer2d.update)
+    for i in range(n):
+        buf = step(buf, jnp.asarray(seq[i].depth))
+    gt = np.asarray(buf.depth)
+    fr = seq[eval_index if eval_index is not None else n // 2]
+    return evaluate(
+        fr.depth,
+        fr.color,
+        gt,
+        include_sp_methods=include_sp_methods,
+        intr=seq.intrinsics,
+        grid=grid,
+        timing_iters=timing_iters,
+        methods=methods,
+    )
+
+
+def write_report(path: str, results: Dict[str, Dict[str, float]]) -> str:
     lines = ["runtime"]
     for name, r in results.items():
         lines.append(f"{name}: {r['time_ms']:.3f} ms")
@@ -114,7 +169,15 @@ def main(path: str | None = None, include_sp_methods: bool = False) -> None:
     text = "\n".join(lines) + "\n"
     with open(path, "w") as f:
         f.write(text)
-    print(text)
+    return text
+
+
+def main(path: str | None = None, include_sp_methods: bool = False) -> None:
+    if path is None:
+        path = sys.argv[1] if len(sys.argv) > 1 else "evaluation.txt"
+    color, noisy, gt = make_noisy_scene(480, 640, default_kinect_intrinsics(), seed=0)
+    results = evaluate(noisy, color, gt, include_sp_methods=include_sp_methods)
+    print(write_report(path, results))
 
 
 if __name__ == "__main__":

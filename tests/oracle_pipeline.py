@@ -45,8 +45,12 @@ def kde_oracle(depth, color, fx, fy, cx, cy, rows=15, cols=20):
     plane_fitted = oracle_plane.set_pseudo_depth_map(
         points, rays, merged["nd_map"], merged["labels"], merged["variance"]
     )
+    resid = oracle_plane.plane_fit_residual(
+        points, plane_fitted, merged["labels"], rows * cols
+    )
     opt = oracle_plane.variance_optimization(
-        points, plane_fitted, merged["labels"], merged["variance"], merged["sizes"]
+        points, plane_fitted, merged["labels"], merged["variance"], merged["sizes"],
+        fit_residual=resid, max_fit_residual=0.0025,
     )
     final = oracle_plane.depth_bilateral(opt, rays)
     return {

@@ -41,6 +41,24 @@ def set_pseudo_depth_map(points, rays, nd_map, labels, variance):
     return out
 
 
+def plane_fit_residual(points, plane_fitted, labels, k):
+    """Per-cluster relative RMS plane residual (spec extension; mirrors
+    ops/plane.py::plane_fit_residual)."""
+    z = points[..., 2]
+    zp = plane_fitted[..., 2]
+    s2 = np.zeros(k, np.float64)
+    cnt = np.zeros(k, np.float64)
+    h, w = labels.shape
+    for y in range(h):
+        for x in range(w):
+            l = labels[y, x]
+            if l < 0 or z[y, x] <= VALID:
+                continue
+            s2[l] += ((zp[y, x] - z[y, x]) / max(z[y, x], 1.0)) ** 2
+            cnt[l] += 1.0
+    return np.sqrt(s2 / np.maximum(cnt, 1.0))
+
+
 def variance_optimization(
     optimized,
     plane_fitted,
@@ -50,9 +68,13 @@ def variance_optimization(
     min_cluster_size=1300,
     agree_tight=0.01,
     agree_loose=0.03,
+    fit_residual=None,
+    max_fit_residual=0.0,
 ):
     """variance_optimization (Projection_GPU.cu:174-196): snap/blend z toward
-    the plane for big coherent clusters; only z changes."""
+    the plane for big coherent clusters; only z changes.  fit_residual /
+    max_fit_residual: the plane-confidence gate (spec extension, see
+    ops/plane.py)."""
     h, w = labels.shape
     out = optimized.astype(np.float64).copy()
     for y in range(h):
@@ -64,6 +86,10 @@ def variance_optimization(
                 continue
             var = min(variance[l], 1.0)
             if not (var > COS_PI_8 and sizes[l] > min_cluster_size):
+                continue
+            if fit_residual is not None and not (
+                fit_residual[l] < max_fit_residual
+            ):
                 continue
             diff = abs(zo - zp)
             if diff < zo * agree_tight:

@@ -49,3 +49,40 @@ def test_cli_enhance_jbf(tmp_path):
     from PIL import Image as I2
 
     assert I2.open(png).size == (w, h)
+
+
+def test_cli_evaluate_tum(tmp_path):
+    """`evaluate --tum` end-to-end (Kinect-model sequence, cheap method
+    subset): writes a parseable evaluation.txt with runtime+error sections."""
+    from kinectdepthmapenhancement_tpu.core import datasets
+
+    h, w = 48, 64
+    intr = default_kinect_intrinsics(w, h)
+    color, _, gt = make_noisy_scene(h, w, intr, seed=9)
+    rng = np.random.default_rng(9)
+    frames = [
+        (10.0 + 0.033 * i, color, datasets.kinect_v1_sensor_model(gt, rng))
+        for i in range(4)
+    ]
+    root = str(tmp_path / "seq")
+    datasets.write_tum_sequence(root, frames)
+    out = str(tmp_path / "evaluation.txt")
+    rc = cli.main(
+        [
+            "evaluate", out,
+            "--tum", root,
+            "--frames", "4",
+            "--methods", "input,jbf",
+            "--timing-iters", "1",
+        ]
+    )
+    assert rc == 0
+    text = open(out).read()
+    assert text.startswith("runtime")
+    assert "error" in text
+    lines = [l for l in text.splitlines() if l.startswith(("input ", "jbf "))]
+    assert len(lines) == 2
+    # "name err  (rmse R mm, n=N)" rows parse to finite numbers
+    for line in lines:
+        err = float(line.split()[1])
+        assert np.isfinite(err)
