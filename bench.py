@@ -44,24 +44,28 @@ def main() -> None:
     cfg = KDEConfig()
 
     c = jnp.asarray(color)
-    batch = 4
 
-    def make_args(i):
-        # unique contents per timed call: defeats the runtime's result cache
-        rng = np.random.default_rng(1000 + i)
-        d = depth[None] + rng.normal(0, 4.0, (batch, h, w)).astype(np.float32)
-        return (jnp.asarray(d), c)
+    # dispatch-inclusive throughput at several batch sizes: a batch of
+    # distinct frames in ONE dispatch (vmap), so the ~30 ms per-dispatch
+    # host<->device round-trip of this harness amortises as in real serving
+    def batched_fps(batch: int, iters: int = 5) -> float:
+        def make_args(i):
+            # unique contents per timed call: defeats the runtime result cache
+            rng = np.random.default_rng(1000 + i)
+            d = depth[None] + rng.normal(0, 4.0, (batch, h, w)).astype(np.float32)
+            return (jnp.asarray(d), c)
 
-    # throughput: a batch of distinct frames in ONE dispatch (vmap), so the
-    # per-dispatch host<->device round-trip amortises as in real serving
-    stats = time_pipeline(
-        lambda d, c_: jax.vmap(
-            lambda dd: kde_pipeline(dd, c_, intr, cfg).optimized_points
-        )(d),
-        make_args,
-        iters=5,
-    )
-    fps = batch / stats["median_s"]
+        stats = time_pipeline(
+            lambda d, c_: jax.vmap(
+                lambda dd: kde_pipeline(dd, c_, intr, cfg).optimized_points
+            )(d),
+            make_args,
+            iters=iters,
+        )
+        return batch / stats["median_s"]
+
+    batch_sweep = {b: round(batched_fps(b), 2) for b in (4, 16)}
+    fps = batch_sweep[4]
 
     # steady-state device throughput: chain K data-dependent pipeline
     # applications inside one executable; fps = (hi-lo)/(t_hi-t_lo)
@@ -91,9 +95,14 @@ def main() -> None:
     per_frame = float(np.median(spans))
     device_fps = 1.0 / per_frame if per_frame > 0 else float("inf")
 
+    def make_args1(i):
+        rng = np.random.default_rng(2000 + i)
+        d = depth[None] + rng.normal(0, 4.0, (1, h, w)).astype(np.float32)
+        return (jnp.asarray(d), c)
+
     lat = time_pipeline(
         lambda d, c_: kde_pipeline(d[0], c_, intr, cfg).optimized_points,
-        make_args,
+        make_args1,
         iters=5,
     )
 
@@ -135,15 +144,33 @@ def main() -> None:
                 "metric": "kde_pipeline_fps_640x480",
                 "value": round(device_fps, 2),
                 "unit": "frames/s",
+                # vs_baseline: fps / the 30 fps Kinect v1 sensor ceiling (the
+                # only rate the reference workload is defined against);
+                # vs_chip_target: fps / the pro-rata north-star rate of
+                # 125 fps/chip (2000 fps aggregate on a v5e-16, BASELINE.md)
                 "vs_baseline": round(device_fps / 30.0, 2),
+                "vs_chip_target": round(device_fps / 125.0, 4),
                 "device_frame_ms": round(per_frame * 1e3, 3),
                 "dispatch_inclusive_fps_batch4": round(fps, 2),
+                "dispatch_inclusive_fps_by_batch": batch_sweep,
                 "single_dispatch_latency_ms": round(lat["median_s"] * 1e3, 2),
                 "gflops_per_frame": (
                     round(flops_per_frame / 1e9, 2) if flops_per_frame else None
                 ),
                 "mfu": round(mfu, 5) if mfu else None,
-                "hbm_bw_util_upper_bound": round(hbm_util, 4) if hbm_util else None,
+                # XLA cost-model operand bytes / time / HBM peak.  The cost
+                # model counts LOGICAL operand traffic, which fusion keeps out
+                # of HBM, so values can exceed 1.0; when they do the figure
+                # bounds nothing and is flagged instead of reported as a util.
+                "hbm_bw_util_cost_model": (
+                    round(hbm_util, 4) if hbm_util and hbm_util <= 1.0 else None
+                ),
+                "hbm_cost_model_note": (
+                    "cost-model operand bytes exceed HBM peak "
+                    f"({round(hbm_util, 2)}x): fusion overcount, not a util"
+                    if hbm_util and hbm_util > 1.0
+                    else None
+                ),
             }
         )
     )

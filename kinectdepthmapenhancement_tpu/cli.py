@@ -67,11 +67,17 @@ def _cmd_enhance(args: argparse.Namespace) -> int:
         refined = res.refined_depth
         points = projective_to_real(refined, intr)
     elif name == "kde":
+        cfg = KDEConfig()
         res = jax.jit(
-            lambda a, b: pipelines.kde_pipeline(a, b, intr, KDEConfig())
+            lambda a, b: pipelines.kde_pipeline(a, b, intr, cfg)
         )(d, c)
         points = res.optimized_points
         refined = points[..., 2]
+        if args.debug_dir:
+            written = visualize.dump_kde_debug(
+                args.debug_dir, res, c, cfg.grid.num_clusters
+            )
+            print(f"wrote {len(written)} debug renders to {args.debug_dir}")
     elif name == "spdsp":
         pts = projective_to_real(d, intr)
         res = jax.jit(
@@ -142,6 +148,12 @@ def main(argv=None) -> int:
     en.add_argument("--out", required=True, help="output FileStorage XML path")
     en.add_argument("--ply", help="optional point-cloud PLY output")
     en.add_argument("--png", help="optional depth render PNG output")
+    en.add_argument(
+        "--debug-dir",
+        help="write per-frame segmentation/labelImage/normals/depth renders "
+        "(KDE only; the reference's always-on imwrite hooks, "
+        "KinectDepthEnhancement.cpp:69,77, behind a flag)",
+    )
     en.set_defaults(fn=_cmd_enhance)
 
     ev = sub.add_parser("evaluate", help="timing + accuracy harness (evaluation.txt)")

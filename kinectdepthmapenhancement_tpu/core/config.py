@@ -181,6 +181,11 @@ class SPDSPConfig(PipelineConfig):
 
     color_slic: SLICParams = SLICParams(200.0, 10.0, 0.0, 0.0, 5)
     depth_slic: SLICParams = SLICParams(0.0, 10.0, 200.0, 0.0, 5)
+    # Plane-confidence gate for the 20-sweep MRF stage (spec EXTENSION, same
+    # rationale as KDEConfig.max_plane_residual): a cluster's PCA plane is
+    # trusted only when its fit thickness sqrt(smallest eigenvalue) is below
+    # this fraction of the cluster depth.  inf restores reference behaviour.
+    max_plane_residual: float = 0.0025
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,7 +28,15 @@ from kinectdepthmapenhancement_tpu.core.config import (
     SPDSPConfig,
     TOFConfig,
 )
-from kinectdepthmapenhancement_tpu.ops import bilateral, ccl, ers, normals, plane, slic
+from kinectdepthmapenhancement_tpu.ops import (
+    bilateral,
+    ccl,
+    ers,
+    normals,
+    plane,
+    slic,
+    tables,
+)
 
 
 class RGBFResult(NamedTuple):
@@ -190,7 +198,19 @@ def spdsp_pipeline(
     plane_fitted = plane.set_pseudo_depth_cluster(
         rpoints, rays, planes.nd, refined.labels, strict=False
     )
-    optimized = plane.mrf_optimization(rpoints, plane_fitted, rays, cfg.projection)
+    # plane-confidence gate (spec extension; see SPDSPConfig): trust a
+    # cluster's plane only when its PCA fit thickness sqrt(lambda_min) is
+    # below max_plane_residual of the cluster depth
+    resid_rel = jnp.sqrt(jnp.maximum(planes.eigenvalues, 0.0)) / jnp.maximum(
+        jnp.abs(planes.nd[:, 3]), 1.0
+    )
+    plane_ok = tables.gather(
+        (resid_rel < cfg.max_plane_residual).astype(jnp.float32),
+        refined.labels,
+    ) > 0.0
+    optimized = plane.mrf_optimization(
+        rpoints, plane_fitted, rays, cfg.projection, gate_mask=plane_ok
+    )
     return SPDSPResult(
         optimized_points=optimized,
         plane_fitted=plane_fitted,

@@ -466,50 +466,19 @@ def cm_normals(
             snaps[s] = (cnt, s2 - outer / n_s[..., None])
         return snaps
 
-    def integral_cov(s):
-        # UNUSED while DIRECT_MAX == MAX_RECT (see strategy note above);
-        # retained as the O(1)-per-size fallback recipe for much larger rects
-        ci = _box_channels(vertices_m, "cm")
-        pi = integral.pad_tables(ci, MAX_RECT + 3, h, w)
-        r2 = s >> 1
-        cont = integral.fixed_box_count(pi, -r2 - 1, -r2 - 1, s, s)
-        sums = integral.fixed_box_sum_all(pi, -r2 - 1, -r2 - 1, s, s)
-        sx, sy, sz = sums[..., 0], sums[..., 1], sums[..., 2]
-        sxx, sxy, sxz = sums[..., 3], sums[..., 4], sums[..., 5]
-        syy, syz, szz = sums[..., 6], sums[..., 7], sums[..., 8]
-        n_s = jnp.maximum(cont, 1.0)
-        ax, ay, az = a3[..., 0], a3[..., 1], a3[..., 2]
-        dx = sx - cont * ax
-        dy_ = sy - cont * ay
-        dz = sz - cont * az
-
-        def entry(sab, aa, bb, sa, sb, da, db):
-            return (sab - aa * sb - bb * sa + cont * aa * bb) - da * db / n_s
-
-        ents = jnp.stack(
-            [
-                entry(sxx, ax, ax, sx, sx, dx, dx),
-                entry(sxy, ax, ay, sx, sy, dx, dy_),
-                entry(sxz, ax, az, sx, sz, dx, dz),
-                entry(syy, ay, ay, sy, sy, dy_, dy_),
-                entry(syz, ay, az, sy, sz, dy_, dz),
-                entry(szz, az, az, sz, sz, dz, dz),
-            ],
-            -1,
-        )
-        return cont, ents
-
+    # (An O(1)-per-size alternative — global summed-area tables re-referenced
+    # at each query vertex — would replace the direct sweep for rects far
+    # beyond MAX_RECT; see integral.py.  Removed from this path: all sizes
+    # here are direct, and f32 global SATs alone lose ~7 deg on clean planes.)
     if cov_impl == "pallas":
         from kinectdepthmapenhancement_tpu.ops.pallas_cov import cm_covariances
 
         cont, ent = cm_covariances(vertices_m, rect)
     else:
         direct_snaps = direct_cov_all()
-
-        def boxes(s):
-            return direct_snaps[s] if s <= DIRECT_MAX else integral_cov(s)
-
-        cont, ent = _per_size(rect, list(range(2, MAX_RECT + 1)), boxes)
+        cont, ent = _per_size(
+            rect, list(range(2, MAX_RECT + 1)), lambda s: direct_snaps[s]
+        )
     c_xx, c_xy, c_xz = ent[..., 0], ent[..., 1], ent[..., 2]
     c_yy, c_yz, c_zz = ent[..., 3], ent[..., 4], ent[..., 5]
     cov = jnp.stack(

@@ -216,11 +216,18 @@ def mrf_optimization(
     plane_fitted: jnp.ndarray,
     rays: jnp.ndarray,
     p: ProjectionParams = ProjectionParams(),
+    *,
+    gate_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """mrf_optimization x iterations (Projection_GPU.cu:139-172, call sites
     cu:296-301): Jacobi sweeps of z' = (z_plane + sum w z_n)/(1 + sum w),
     w = smooth_sigma * K/(1 + dz^2), applied only where the plane fit is
-    valid and agrees with the current depth within 1%."""
+    valid and agrees with the current depth within 1%.
+
+    gate_mask (optional [H, W] bool): plane-confidence gate — pixels outside
+    it are never pulled toward their plane (spec extension over the
+    reference, same rationale as variance_optimization's fit_residual gate;
+    None preserves reference behaviour exactly)."""
     h, w = optimized.shape[:2]
     r = p.mrf_window // 2
 
@@ -228,6 +235,8 @@ def mrf_optimization(
         z = opt[..., 2]
         zp = plane_fitted[..., 2]
         gate = (zp > VALID_DEPTH_MM) & (jnp.abs(z - zp) < z * 0.01)
+        if gate_mask is not None:
+            gate = gate & gate_mask
         zpad = stencil.pad2d(z, r, 0.0)
         num = zp
         den = jnp.ones((h, w), jnp.float32)

@@ -354,7 +354,14 @@ def _color_gradient(color_f: jnp.ndarray) -> jnp.ndarray:
     for dy in range(-5, 6):
         for dx in range(-5, 6):
             nb = _edge_shift(cpad, dy, dx, 5, h, w)
-            g = jnp.sqrt(jnp.sum(jnp.square(color_f - nb), axis=-1))
+            # explicit association (see _nasp_gradient)
+            g = jnp.sqrt(
+                (
+                    jnp.square(color_f[..., 0] - nb[..., 0])
+                    + jnp.square(color_f[..., 1] - nb[..., 1])
+                )
+                + jnp.square(color_f[..., 2] - nb[..., 2])
+            )
             sum_g = sum_g + g
             count = count + (g > 0.0)
     return jnp.where(count > 0, sum_g / jnp.maximum(count, 1.0), jnp.inf)
@@ -372,10 +379,25 @@ def _nasp_gradient(color_f: jnp.ndarray, normals: jnp.ndarray) -> jnp.ndarray:
     for dy in range(-5, 6):
         for dx in range(-5, 6):
             nb = _edge_shift(cpad, dy, dx, 5, h, w)
-            g = jnp.sqrt(jnp.sum(jnp.square(color_f - nb), axis=-1))
+            # explicit association: keeps this path bitwise-reproducible by
+            # the fused Pallas kernel (XLA contracts jnp.sum(x*y, -1) into an
+            # FMA chain the kernel cannot portably imitate)
+            g = jnp.sqrt(
+                (
+                    jnp.square(color_f[..., 0] - nb[..., 0])
+                    + jnp.square(color_f[..., 1] - nb[..., 1])
+                )
+                + jnp.square(color_f[..., 2] - nb[..., 2])
+            )
             nnb = _edge_shift(npad, dy, dx, 5, h, w)
             both = valid_c & _normal_valid_and(nnb)
-            ndiff = jnp.abs(jnp.sum(normals * nnb, axis=-1))
+            ndiff = jnp.abs(
+                (
+                    normals[..., 0] * nnb[..., 0]
+                    + normals[..., 1] * nnb[..., 1]
+                )
+                + normals[..., 2] * nnb[..., 2]
+            )
             g = jnp.where(both, g * (1.0 - ndiff), g)
             sum_g = sum_g + g
             count = count + (g > 0.0)
@@ -484,19 +506,30 @@ def _compute_seeds(
 ) -> jnp.ndarray:
     """Seed sampling; on the sub-grid fast path the gradient is evaluated
     only where the seed windows can read it (bit-identical by construction)."""
+    # fused single-launch gradient on TPU (ops/pallas_gradient.py, bitwise-
+    # equal to the unrolled XLA path below — which is kernel-launch-bound)
+    from kinectdepthmapenhancement_tpu.ops import pallas_gradient
+
+    use_pallas = pallas_gradient.available()
+
+    def grad(cf, nm):
+        if use_pallas:
+            return pallas_gradient.seed_gradient(
+                cf, nm if variant == "nasp" else None
+            )
+        if variant == "nasp":
+            return _nasp_gradient(cf, nm)
+        return _color_gradient(cf)
+
     if _subgrid_ok(grid, h, w, window):
         csub = _subgrid_extract(color_f, grid, h, w, window)
-        if variant == "nasp":
-            nsub = _subgrid_extract(normals, grid, h, w, window)
-            gsub = _nasp_gradient(csub, nsub)
-        else:
-            gsub = _color_gradient(csub)
-        return _sample_seeds_subgrid(gsub, grid, h, w, window)
-    if variant == "nasp":
-        gradient = _nasp_gradient(color_f, normals)
-    else:
-        gradient = _color_gradient(color_f)
-    return sample_seeds(gradient, grid, h, w, window)
+        nsub = (
+            _subgrid_extract(normals, grid, h, w, window)
+            if variant == "nasp"
+            else None
+        )
+        return _sample_seeds_subgrid(grad(csub, nsub), grid, h, w, window)
+    return sample_seeds(grad(color_f, normals), grid, h, w, window)
 
 
 def init_clusters(
@@ -599,20 +632,109 @@ def _assign(
 
     if cell_fast:
         # labels == grid init: a cell's pixels share the candidate cluster,
-        # so candidate features broadcast per cell (no per-pixel gathers)
+        # so the distance computation runs in band space [rows, bs_y, W] (a
+        # bitcast reshape of [H, W] — full 640-lane vectorisation) with the
+        # candidate features pre-expanded to [rows, 1, W] maps.  Per offset
+        # that materialises only a tiny [rows, W, nf] map (~0.35 MB) instead
+        # of a full [H, W, nf] one (11 MB) — for NASP's 64 offsets this cuts
+        # the stage's HBM traffic ~30x (was the pipeline's largest cost).
         rows, cls = grid.rows, grid.cols
         bs_y, bs_x = h // rows, w // cls
-        gf = jnp.pad(fields.reshape(rows, cls, nf), ((r, r), (r, r), (0, 0)))
 
-        def gathered(i, rid, in_grid):
-            dy, dx = offs[i]
+        def tob(x):
+            return x.reshape(rows, bs_y, w)
+
+        cfc = [tob(color_f[..., i]) for i in range(3)]
+        ub = u[None, :, :]                      # [1, 1, W] iota
+        vb = jnp.arange(h, dtype=jnp.float32).reshape(rows, bs_y, 1)
+        zc = tob(z) if z is not None else None
+        nmc = (
+            [tob(normals[..., i]) for i in range(3)]
+            if variant == "nasp"
+            else None
+        )
+        dist_b = tob(distance)
+        lab_b = tob(labels)
+        bd = jnp.full((rows, bs_y, w), jnp.inf, jnp.float32)
+        bl = jnp.full((rows, bs_y, w), -1, jnp.int32)
+
+        gf = jnp.pad(fields.reshape(rows, cls, nf), ((r, r), (r, r), (0, 0)))
+        cyg = jnp.arange(rows, dtype=jnp.int32)
+        cxg = jnp.arange(cls, dtype=jnp.int32)
+
+        def expand(cell_map):  # [rows, cols, F] -> [rows, 1, W, F]
+            return jnp.repeat(cell_map, bs_x, axis=1)[:, None, :]
+
+        for dy, dx in offs:
             cell = lax.slice(
                 gf, (r + dy, r + dx, 0), (r + dy + rows, r + dx + cls, nf)
             )
-            return jnp.broadcast_to(
-                cell[:, None, :, None, :], (rows, bs_y, cls, bs_x, nf)
-            ).reshape(h, w, nf)
-    elif tables.use_mxu():
+            cc = expand(cell)                   # [rows, 1, W, nf]
+            ing_cell = (
+                ((cyg + dy >= 0) & (cyg + dy < rows))[:, None]
+                & ((cxg + dx >= 0) & (cxg + dx < cls))[None, :]
+            )
+            rid_cell = (cyg + dy)[:, None] * grid.cols + (cxg + dx)[None, :]
+            ing = expand(ing_cell[..., None])[..., 0]
+            rid = expand(rid_cell[..., None])[..., 0]
+            c_rgb = [cc[..., i] for i in range(3)]
+            c_x, c_y = cc[..., 3], cc[..., 4]
+            cd = (
+                jnp.square(cfc[0] - c_rgb[0])
+                + jnp.square(cfc[1] - c_rgb[1])
+                + jnp.square(cfc[2] - c_rgb[2])
+            )
+            pd = jnp.sqrt(jnp.square(ub - c_x) + jnp.square(vb - c_y)) * (
+                s_scale**2
+            )
+            if variant == "sp":
+                dist = cd * w_col + pd * w_spa
+            else:
+                c_cz = cc[..., 5]
+                zpair = (zc > VALID_DEPTH_MM) & (c_cz > VALID_DEPTH_MM)
+                dd = jnp.where(zpair, jnp.abs(zc - c_cz), 0.0)
+                dist = cd * w_col + pd * w_spa + dd * w_dep
+                if variant == "nasp":
+                    c_n = [cc[..., 6 + i] for i in range(3)]
+                    nv_pix = (
+                        (nmc[0] != INVALID_NORMAL)
+                        | (nmc[1] != INVALID_NORMAL)
+                        | (nmc[2] != INVALID_NORMAL)
+                    )
+                    nv_cand = (
+                        (c_n[0] != INVALID_NORMAL)
+                        | (c_n[1] != INVALID_NORMAL)
+                        | (c_n[2] != INVALID_NORMAL)
+                    )
+                    npair = zpair & nv_pix & nv_cand
+                    dot = (
+                        nmc[0] * c_n[0] + nmc[1] * c_n[1] + nmc[2] * c_n[2]
+                    )
+                    nd = jnp.where(
+                        npair, 255.0**2 * (1.0 - jnp.maximum(dot, 0.0)), 0.0
+                    )
+                    dist = dist + nd * w_nor
+            cand_d = jnp.where(ing, dist, dist_b)
+            cand_l = jnp.where(ing, rid, lab_b)
+            take = cand_d < bd
+            bd = jnp.where(take, cand_d, bd)
+            bl = jnp.where(take, cand_l, bl)
+
+        new_labels = bl.reshape(h, w)
+        new_dist = bd.reshape(h, w)
+        if variant == "dasp" and params.depth_sigma != 0.0:
+            invalid = z < VALID_DEPTH_MM
+            new_labels = jnp.where(invalid, -1, new_labels)
+            new_dist = jnp.where(invalid, 0.0, new_dist)
+        if variant == "nasp" and (
+            params.depth_sigma != 0.0 or params.normal_sigma != 0.0
+        ):
+            invalid = z < VALID_DEPTH_MM
+            new_labels = jnp.where(invalid, -1, new_labels)
+            new_dist = jnp.where(invalid, 0.0, new_dist)
+        return new_labels, new_dist
+
+    if tables.use_mxu():
         # bulk gather: rid == lab0 + (dy*cols + dx) for in-grid lanes, so a
         # group of offsets is ONE one-hot matmul against the horizontally
         # concatenated row-shifted tables (per-pixel gathers serialize on

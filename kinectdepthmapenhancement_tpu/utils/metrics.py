@@ -1,17 +1,16 @@
-"""Evaluation metrics and timing harness.
+"""Evaluation metrics.
 
 Replaces main.cpp's evaluation loop (main.cpp:217-309: per-method mean 3-D
 Euclidean error vs. the temporally averaged buffer, over pixels where both
-depths lie in (50, 15000) mm) and the clock()-based stage timing
-(main.cpp:158-201) — on device, jittable, plus a block_until_ready harness.
+depths lie in (50, 15000) mm) — on device, jittable.  For TIMING use
+utils/timing.py: naive repeat-timing of identical inputs reports fantasy
+numbers on runtimes that memoize (executable, input) pairs (PERF.md).
 """
 
 from __future__ import annotations
 
-import time
-from typing import Callable, Dict, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 VALID_MIN = 50.0
@@ -42,17 +41,3 @@ def depth_rmse(depth: jnp.ndarray, reference: jnp.ndarray) -> jnp.ndarray:
     )
     se = jnp.where(valid, jnp.square(depth - reference), 0.0)
     return jnp.sqrt(jnp.sum(se) / jnp.maximum(jnp.sum(valid), 1))
-
-
-def time_fn(fn: Callable, *args, warmup: int = 2, iters: int = 10) -> Dict[str, float]:
-    """Wall-clock a jitted function with block_until_ready (the TPU analog of
-    the reference's clock() deltas around kernel launches)."""
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return {"mean_s": dt, "fps": 1.0 / dt if dt > 0 else float("inf")}

@@ -160,3 +160,31 @@ def save_video(path: str, frames, fps: float = 30.0) -> None:
         duration=int(round(1000.0 / fps)),
         loop=0,
     )
+
+
+def dump_kde_debug(out_dir: str, res, color, k: int, frame_id: int = 0) -> list:
+    """Per-frame debug dumps mirroring the reference's always-on
+    cv::imwrite("segmentation.jpg"/"labelImage.jpg") hooks
+    (KinectDepthEnhancement.cpp:69,77) — here behind an explicit flag, plus
+    the normal and refined-depth renders.  `res` is a KDEResult; returns the
+    written paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.join(out_dir, f"{frame_id:06d}")
+    paths = []
+
+    seg = label_boundaries(color, res.nasp_labels)
+    save_png(base + "_segmentation.png", seg)
+    paths.append(base + "_segmentation.png")
+
+    lab = random_color_labels(res.merged_labels, k)
+    save_png(base + "_labelImage.png", lab)
+    paths.append(base + "_labelImage.png")
+
+    save_png(base + "_normals.png", normal_image(res.normals))
+    paths.append(base + "_normals.png")
+
+    save_png(base + "_depth.png", depth_rgb(res.optimized_points[..., 2]))
+    paths.append(base + "_depth.png")
+    return paths

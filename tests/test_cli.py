@@ -2,6 +2,7 @@
 path (main.cpp:139-163 analog)."""
 
 import numpy as np
+import pytest
 
 from kinectdepthmapenhancement_tpu import cli
 from kinectdepthmapenhancement_tpu.core import io
@@ -86,3 +87,40 @@ def test_cli_evaluate_tum(tmp_path):
     for line in lines:
         err = float(line.split()[1])
         assert np.isfinite(err)
+
+
+@pytest.mark.full
+def test_cli_enhance_kde_debug_dir(tmp_path):
+    """--debug-dir writes the per-frame segmentation/labelImage/normals/depth
+    renders (the reference's imwrite hooks behind a flag)."""
+    h, w = 48, 64
+    intr = default_kinect_intrinsics(w, h)
+    color, noisy, gt = make_noisy_scene(h, w, intr, seed=4)
+    depth_xml = str(tmp_path / "depth.xml")
+    color_png = str(tmp_path / "color.png")
+    io.write_filestorage_xml(depth_xml, {"depth": noisy})
+    from PIL import Image
+
+    Image.fromarray(color).save(color_png)
+    dbg = str(tmp_path / "dbg")
+    rc = cli.main(
+        [
+            "enhance",
+            "--depth", depth_xml,
+            "--color", color_png,
+            "--pipeline", "kde",
+            "--out", str(tmp_path / "refined.xml"),
+            "--debug-dir", dbg,
+        ]
+    )
+    assert rc == 0
+    import os
+
+    files = sorted(os.listdir(dbg))
+    suffixes = {f.split("_", 1)[1] for f in files}
+    assert suffixes == {
+        "segmentation.png", "labelImage.png", "normals.png", "depth.png"
+    }
+    for f in files:
+        im = Image.open(os.path.join(dbg, f))
+        assert im.size == (w, h)

@@ -1,6 +1,7 @@
 """Pallas kernels vs their XLA reference paths (interpret mode on CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from kinectdepthmapenhancement_tpu.core.config import JBFParams, NormalParams
@@ -125,3 +126,40 @@ def test_jbf_pallas_nondivisible_height(small_scene):
     # rows near the pad boundary see zero-padding exactly like the reference's
     # bounds test, so the interior matches
     np.testing.assert_allclose(np.asarray(out)[:48], want[:48], rtol=1e-5, atol=5e-3)
+
+
+def test_seed_gradient_pallas_matches_xla_color():
+    """pallas_gradient.seed_gradient (interpret mode) == slic._color_gradient
+    bitwise, including edge clamping and the count>0 inf fill."""
+    from kinectdepthmapenhancement_tpu.ops import pallas_gradient, slic
+
+    rng = np.random.default_rng(3)
+    h, w = 54, 70
+    color_f = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+    # a constant patch exercises the g==0 -> count exclusion path
+    color_f[10:20, 10:20] = 128.0
+    want = np.asarray(jax.jit(slic._color_gradient)(jnp.asarray(color_f)))
+    got = np.asarray(
+        pallas_gradient.seed_gradient(jnp.asarray(color_f), interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_seed_gradient_pallas_matches_xla_nasp():
+    from kinectdepthmapenhancement_tpu.ops import pallas_gradient, slic
+
+    rng = np.random.default_rng(4)
+    h, w = 36, 130  # > 128 lanes: exercises the roll wrap margin
+    color_f = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+    n = rng.normal(size=(h, w, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n[rng.random((h, w)) < 0.15] = -1.0  # invalid normals
+    want = np.asarray(
+        jax.jit(slic._nasp_gradient)(jnp.asarray(color_f), jnp.asarray(n))
+    )
+    got = np.asarray(
+        pallas_gradient.seed_gradient(
+            jnp.asarray(color_f), jnp.asarray(n), interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)

@@ -106,10 +106,12 @@ def test_spdsp_small_scale_stages():
 
 @pytest.mark.full
 def test_spdsp_full_res_quality(full_scene):
-    """SPDSP quality gate at the reference's native 640x480 / 15x20 grid
-    (mean 3-D error, main.cpp:302-309): the ERS stage must strictly improve
-    the noisy input, and the plane-projection + 20-sweep MRF stage (a
-    planariser, not a denoiser) must not regress the input by > 5%."""
+    """SPDSP ABSOLUTE quality gates at the reference's native 640x480 / 15x20
+    grid (mean 3-D error, main.cpp:302-309).  Measured on this scene with the
+    plane-confidence gate (SPDSPConfig.max_plane_residual): input 3.61 mm,
+    ERS 0.82 mm, composed output 2.21 mm; bounds add ~35% headroom for
+    compiler/runtime drift, so a real regression (e.g. the gate lost, back to
+    3.65 mm) fails CI."""
     intr = full_scene["intr"]
     noisy = jnp.asarray(full_scene["depth"])
     color = jnp.asarray(full_scene["color"])
@@ -127,7 +129,32 @@ def test_spdsp_full_res_quality(full_scene):
     err_out, _ = metrics.mean_3d_error(res.optimized_points, gt_pts)
     assert float(n) > 200000
     assert float(err_ers) < float(err_in)  # ERS strictly improves
-    assert float(err_out) <= float(err_in) * 1.05
+    assert float(err_ers) < 1.2   # mm, absolute
+    assert float(err_out) < 3.0   # mm, absolute (ungated stage was 3.65)
+
+
+@pytest.mark.full
+def test_tof_full_res_plane_quality(full_scene):
+    """TOF ABSOLUTE quality gate at 640x480: the plane-fitted output (TOF's
+    deliverable — its optimiser is disabled in the reference,
+    Projection_PCA.cu:118-125) must reconstruct planar regions of the scene
+    to < 12 mm RMSE (measured 8.8 mm; GT-flat pixels only, since cluster
+    planes are undefined across surface boundaries)."""
+    intr = full_scene["intr"]
+    noisy = jnp.asarray(full_scene["depth"])
+    color = jnp.asarray(full_scene["color"])
+    gtn = np.asarray(full_scene["gt"])
+    cfg = TOFConfig()
+    pts = projective_to_real(noisy, intr)
+    res = jax.jit(lambda d, p, c: pipelines.tof_pipeline(d, p, c, intr, cfg))(
+        noisy, pts, color
+    )
+    gy, gx = np.gradient(gtn)
+    flat = (np.abs(gy) + np.abs(gx)) < 0.5
+    zf = np.asarray(res.plane_fitted[..., 2])
+    m = flat & (zf > 50.0) & (zf < 15000.0) & (gtn > 50.0)
+    assert m.sum() > 80000
+    assert float(np.sqrt(np.mean((zf - gtn)[m] ** 2))) < 12.0
 
 
 def test_tof_optimized_equals_refined_points():
