@@ -64,7 +64,11 @@ def main() -> None:
         )
         return batch / stats["median_s"]
 
-    batch_sweep = {b: round(batched_fps(b), 2) for b in (4, 16)}
+    # default sweep stays cheap (one extra vmap compile); pass --sweep for
+    # the full 1/4/16 curve (recorded in PERF.md — each width is a separate
+    # multi-minute XLA compile through the remote tunnel)
+    widths = (1, 4, 16) if "--sweep" in sys.argv else (4,)
+    batch_sweep = {b: round(batched_fps(b), 2) for b in widths}
     fps = batch_sweep[4]
 
     # steady-state device throughput: chain K data-dependent pipeline

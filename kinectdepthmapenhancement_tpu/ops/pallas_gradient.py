@@ -29,6 +29,11 @@ INVALID_NORMAL = -1.0
 
 
 def _grad_kernel(cpad_ref, npad_ref, out_ref, *, h: int, wp: int, nasp: bool):
+    """dy is unrolled (static row slices are free); dx runs under a
+    lax.fori_loop with DYNAMIC pltpu.roll shifts — fully unrolling the 121
+    offsets made Mosaic compile the 726 rolls for ~4.5 minutes; the loop
+    form compiles in seconds.  The (dy outer, dx inner) accumulation order
+    of the XLA path is preserved exactly, so outputs stay bitwise-equal."""
     a = [cpad_ref[i, R : R + h, :] for i in range(3)]
     if nasp:
         an = [npad_ref[i, R : R + h, :] for i in range(3)]
@@ -43,10 +48,13 @@ def _grad_kernel(cpad_ref, npad_ref, out_ref, *, h: int, wp: int, nasp: bool):
         rc = [cpad_ref[i, R + dy : R + dy + h, :] for i in range(3)]
         if nasp:
             rn = [npad_ref[i, R + dy : R + dy + h, :] for i in range(3)]
-        for dx in range(-R, R + 1):
+
+        def dx_body(j, carry, rc=rc, rn=rn if nasp else None):
+            sum_g, count = carry
+            shift = (-(j - R)) % wp  # dx = j - R
 
             def sh(x):
-                return pltpu.roll(x, (-dx) % wp, axis=1) if dx != 0 else x
+                return pltpu.roll(x, shift, axis=1)
 
             nb = [sh(rc[i]) for i in range(3)]
             # identical op order to the XLA path: sum of squares over the
@@ -68,8 +76,11 @@ def _grad_kernel(cpad_ref, npad_ref, out_ref, *, h: int, wp: int, nasp: bool):
                     (an[0] * nnb[0] + an[1] * nnb[1]) + an[2] * nnb[2]
                 )
                 g = jnp.where(both, g * (1.0 - ndiff), g)
-            sum_g = sum_g + g
-            count = count + (g > 0.0).astype(jnp.float32)
+            return sum_g + g, count + (g > 0.0).astype(jnp.float32)
+
+        sum_g, count = jax.lax.fori_loop(
+            0, 2 * R + 1, dx_body, (sum_g, count)
+        )
     out_ref[0, :, :] = jnp.where(
         count > 0.0, sum_g / jnp.maximum(count, 1.0), jnp.inf
     )
