@@ -144,12 +144,16 @@ def kde_pipeline(
             index=nasp_cell,
         )
     with jax.named_scope("kde.projection"):
+        # cell-local gather route for all per-merged-cluster tables (the
+        # direct route costs a [H*W, K] one-hot matmul per gather)
+        rep = merged.rep if nasp_cell is not None else None
         plane_fitted = plane.set_pseudo_depth_map(
-            points, rays, merged.nd_map, merged.labels, merged.variance
+            points, rays, merged.nd_map, merged.labels, merged.variance,
+            index=nasp_cell, rep=rep,
         )
         resid = plane.plane_fit_residual(
             points, plane_fitted, merged.labels, cfg.grid.num_clusters,
-            index=nasp_cell, rep=merged.rep if nasp_cell is not None else None,
+            index=nasp_cell, rep=rep,
         )
         optimized = plane.variance_optimization(
             points,
@@ -162,6 +166,8 @@ def kde_pipeline(
             agree_loose=cfg.agree_loose,
             fit_residual=resid,
             max_fit_residual=cfg.max_plane_residual,
+            index=nasp_cell,
+            rep=rep,
         )
         optimized = plane.depth_bilateral(optimized, rays, cfg.projection)
     return KDEResult(

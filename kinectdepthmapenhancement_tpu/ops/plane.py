@@ -54,17 +54,26 @@ def set_pseudo_depth_map(
     nd_map: jnp.ndarray,
     labels: jnp.ndarray,
     variance: jnp.ndarray,
+    *,
+    index=None,
+    rep: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-pixel nd map + variance gate (first overload, Projection_GPU.cu:20-48;
     used by KDE with the CCL-merged outputs): plane-project where label > -1
-    and acos(variance[label]) < pi/8, else pass through the input points."""
+    and acos(variance[label]) < pi/8, else pass through the input points.
+
+    index/rep: optional cell-local gather route (see variance_optimization)."""
     # acos(v) < pi/8  <=>  v > cos(pi/8).  The reference's acos(v) is NaN
     # (-> reject) for v > 1, but coherence lands at 1 +- ulp for perfectly
     # planar clusters (it is a unit normal's self-dot), so whether a cluster
     # is accepted is f32 summation-order luck there.  FIXED (documented):
     # v > 1 is clamped to 1, deterministically accepting fully coherent
     # clusters — the obviously intended behaviour.
-    var = jnp.minimum(tables.gather(variance, labels), 1.0)
+    if index is not None and rep is not None:
+        var_map = index.gather(tables.gather(variance, rep)[:, None])[..., 0]
+    else:
+        var_map = tables.gather(variance, labels)
+    var = jnp.minimum(var_map, 1.0)
     gate = (labels > -1) & (var > COS_PI_8)
     proj = _project(nd_map, rays)
     return jnp.where(gate[..., None], proj, points)
@@ -172,6 +181,8 @@ def variance_optimization(
     agree_loose: float = 0.03,
     fit_residual: jnp.ndarray | None = None,
     max_fit_residual: float = 0.0,
+    index=None,
+    rep: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """variance_optimization (Projection_GPU.cu:174-196): where the plane fit
     agrees with the current depth within 3%, a big (>1300 px) coherent
@@ -183,16 +194,25 @@ def variance_optimization(
     max_fit_residual (relative RMS) are left untouched.  The reference has
     no such gate; without it, planes averaged across multiple surfaces drag
     every pixel they pass within 3% of onto themselves (documented spec
-    extension; None preserves reference behaviour exactly)."""
+    extension; None preserves reference behaviour exactly).
+
+    index/rep (optional, see plane_fit_residual): when the merged `labels`
+    are rep[original] of a cell-local SLIC labelling, per-merged-cluster
+    tables gather as (table[rep])[original] through the cell-local one-hot —
+    the direct pixel-level gather by merged labels costs a full [H*W, K]
+    one-hot matmul (~0.6 ms/frame at 640x480)."""
     zo = optimized[..., 2]
     zp = plane_fitted[..., 2]
     diff = jnp.abs(zo - zp)
-    g = tables.gather(
-        jnp.concatenate(
-            [variance[:, None], sizes.astype(jnp.float32)[:, None]], axis=-1
-        ),
-        labels,
+    tbl = jnp.concatenate(
+        [variance[:, None], sizes.astype(jnp.float32)[:, None]], axis=-1
     )
+    if fit_residual is not None:
+        tbl = jnp.concatenate([tbl, fit_residual[:, None]], axis=-1)
+    if index is not None and rep is not None:
+        g = index.gather(tables.gather(tbl, rep))
+    else:
+        g = tables.gather(tbl, labels)
     # var > 1 clamped (see set_pseudo_depth_map); the clamped value also
     # feeds the blend below, keeping it a convex combination
     var, size = jnp.minimum(g[..., 0], 1.0), g[..., 1]
@@ -204,7 +224,7 @@ def variance_optimization(
         & (size > min_cluster_size)
     )
     if fit_residual is not None:
-        gate = gate & (tables.gather(fit_residual, labels) < max_fit_residual)
+        gate = gate & (g[..., 2] < max_fit_residual)
     snap = diff < zo * agree_tight
     blended = zp * var + zo * (1.0 - var)
     new_z = jnp.where(gate, jnp.where(snap, zp, blended), zo)
