@@ -117,6 +117,7 @@ def _cmd_evaluate(args: argparse.Namespace) -> int:
 
         rows, cols = (int(t) for t in args.grid.lower().split("x"))
         grid = GridParams(rows=rows, cols=cols)
+    methods = args.methods.split(",") if args.methods else None
     if args.tum:
         results = evaluate.evaluate_tum(
             args.tum,
@@ -124,11 +125,19 @@ def _cmd_evaluate(args: argparse.Namespace) -> int:
             include_sp_methods=args.full,
             grid=grid,
             timing_iters=args.timing_iters,
-            methods=args.methods.split(",") if args.methods else None,
+            methods=methods,
         )
         print(evaluate.write_report(args.out, results))
     else:
-        evaluate.main(args.out, include_sp_methods=args.full)
+        if args.frames != 30:
+            print("warning: --frames only applies with --tum; ignored", file=sys.stderr)
+        evaluate.main(
+            args.out,
+            include_sp_methods=args.full,
+            grid=grid,
+            timing_iters=args.timing_iters,
+            methods=methods,
+        )
     return 0
 
 

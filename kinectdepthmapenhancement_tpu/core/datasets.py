@@ -97,13 +97,24 @@ def associate(
     """Greedy nearest-timestamp association (the TUM associate.py contract):
     all candidate pairs within max_difference sorted by |dt|, matched
     greedily so each entry is used at most once.  Returns index pairs into
-    (a, b), sorted by a-timestamp."""
-    cand = [
-        (abs(ta - (tb + offset)), i, j)
-        for i, (ta, _) in enumerate(a)
-        for j, (tb, _) in enumerate(b)
-        if abs(ta - (tb + offset)) < max_difference
-    ]
+    (a, b), sorted by a-timestamp.
+
+    Candidates are generated with a bisect-bounded window per a-entry
+    (O(|a| log |b| + matches)) rather than the full |a|x|b| product — real
+    TUM sequences are ~3000x3000 entries and index files are unsorted only
+    in pathological cases, so b is sorted by timestamp first."""
+    import bisect
+
+    b_sorted = sorted(range(len(b)), key=lambda j: b[j][0])
+    b_times = [b[j][0] + offset for j in b_sorted]
+    cand = []
+    for i, (ta, _) in enumerate(a):
+        lo = bisect.bisect_left(b_times, ta - max_difference)
+        hi = bisect.bisect_right(b_times, ta + max_difference)
+        for k in range(lo, hi):
+            dt = abs(ta - b_times[k])
+            if dt < max_difference:
+                cand.append((dt, i, b_sorted[k]))
     cand.sort()
     used_a: set = set()
     used_b: set = set()

@@ -206,9 +206,11 @@ def spdsp_pipeline(
     )
     # plane-confidence gate (spec extension; see SPDSPConfig): trust a
     # cluster's plane only when its PCA fit thickness sqrt(lambda_min) is
-    # below max_plane_residual of the cluster depth
+    # below max_plane_residual of the cluster centroid depth.  Normalising by
+    # centroid z (not plane offset |d|, which shrinks for oblique planes and
+    # would disable the gate exactly where planes graze the view direction).
     resid_rel = jnp.sqrt(jnp.maximum(planes.eigenvalues, 0.0)) / jnp.maximum(
-        jnp.abs(planes.nd[:, 3]), 1.0
+        jnp.abs(planes.centers[:, 2]), 1.0
     )
     plane_ok = tables.gather(
         (resid_rel < cfg.max_plane_residual).astype(jnp.float32),

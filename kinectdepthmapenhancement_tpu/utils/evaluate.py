@@ -172,11 +172,26 @@ def write_report(path: str, results: Dict[str, Dict[str, float]]) -> str:
     return text
 
 
-def main(path: str | None = None, include_sp_methods: bool = False) -> None:
+def main(
+    path: str | None = None,
+    include_sp_methods: bool = False,
+    *,
+    grid: Optional[GridParams] = None,
+    timing_iters: int = 5,
+    methods: Optional[list] = None,
+) -> None:
     if path is None:
         path = sys.argv[1] if len(sys.argv) > 1 else "evaluation.txt"
     color, noisy, gt = make_noisy_scene(480, 640, default_kinect_intrinsics(), seed=0)
-    results = evaluate(noisy, color, gt, include_sp_methods=include_sp_methods)
+    results = evaluate(
+        noisy,
+        color,
+        gt,
+        include_sp_methods=include_sp_methods,
+        grid=grid,
+        timing_iters=timing_iters,
+        methods=methods,
+    )
     print(write_report(path, results))
 
 
