@@ -51,6 +51,12 @@ class SLICParams:
     depth_sigma: float = 0.0
     normal_sigma: float = 0.0
     iterations: int = 1
+    # seed-gradient backend: "auto" picks the fused Pallas kernel
+    # (ops/pallas_gradient.py, bitwise-equal) on TPU and the XLA path
+    # elsewhere; "xla" / "pallas" force one ("pallas" runs in interpret mode
+    # off-TPU).  Sharded pipelines force "xla" at spatial > 1: a pallas_call
+    # cannot be partitioned by GSPMD (see parallel/sharding.py).
+    grad_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,26 +77,29 @@ def _adjacency(idx) -> jnp.ndarray:
 
 def _components(mergeable: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Min-label connected components over [K, K] bool adjacency.
-    Returns rep [K] i32 (component minimum id); invalid nodes keep own id."""
+    Returns rep [K] i32 (component minimum id); invalid nodes keep own id
+    (they have no mergeable edges, so reachability leaves them alone).
+
+    Computed as transitive closure by boolean matrix squaring on the MXU:
+    ceil(log2(K)) rounds of R <- (R @ R > 0) cover every path (bf16 0/1
+    operands, f32 accumulation — counts < 2^24, exact), then rep = min
+    reachable id.  Replaces the data-dependent while_loop of rounds of
+    min-propagation + pointer jumping, whose serial [K]-vector chain was
+    latency-bound on TPU (~0.27 ms of tiny kernels at K=300)."""
     k = mergeable.shape[0]
+    del valid  # invalid nodes are isolated in `mergeable` by construction
     ids = jnp.arange(k, dtype=jnp.int32)
-
-    def body(state):
-        rep, _ = state
-        neigh = jnp.where(mergeable, rep[None, :], k)
-        nmin = jnp.min(neigh, axis=1).astype(jnp.int32)
-        new = jnp.minimum(rep, jnp.where(valid, nmin, k).astype(jnp.int32))
-        new = jnp.minimum(new, rep)
-        # path compression (pointer jumping)
-        new = new[new]
-        new = new[new]
-        return new, jnp.any(new != rep)
-
-    def cond(state):
-        return state[1]
-
-    rep, _ = lax.while_loop(cond, body, (ids, jnp.bool_(True)))
-    return rep
+    reach = (mergeable | jnp.eye(k, dtype=bool)).astype(jnp.bfloat16)
+    for _ in range(max(1, math.ceil(math.log2(k)))):
+        sq = lax.dot_general(
+            reach, reach,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        reach = (sq > 0.0).astype(jnp.bfloat16)
+    return jnp.min(
+        jnp.where(reach > 0.0, ids[None, :], k), axis=1
+    ).astype(jnp.int32)
 
 
 def _merge(

@@ -84,7 +84,7 @@ def distance_transform(dci: jnp.ndarray, iterations: int) -> jnp.ndarray:
         (1, -1): 1.4, (1, 0): 1.0, (1, 1): 1.4,
     }
 
-    def relax(_, dt):
+    def relax(dt):
         best = dt
         pad = jnp.pad(dt, 1, constant_values=jnp.inf)
         for (dy, dx), cost in weights.items():
@@ -92,7 +92,18 @@ def distance_transform(dci: jnp.ndarray, iterations: int) -> jnp.ndarray:
             best = jnp.minimum(best, nb + cost)
         return best
 
-    return lax.fori_loop(0, iterations, relax, init)
+    # unroll 4 relaxations per loop body: each body is a handful of cheap
+    # shifted-min kernels, so per-iteration loop overhead dominated the stage
+    group = 4
+    dt = lax.fori_loop(
+        0,
+        iterations // group,
+        lambda _, d: relax(relax(relax(relax(d)))),
+        init,
+    )
+    for _ in range(iterations % group):
+        dt = relax(dt)
+    return dt
 
 
 def smoothing_map(vertices_m: jnp.ndarray, p: NormalParams) -> jnp.ndarray:
@@ -473,7 +484,11 @@ def cm_normals(
     if cov_impl == "pallas":
         from kinectdepthmapenhancement_tpu.ops.pallas_cov import cm_covariances
 
-        cont, ent = cm_covariances(vertices_m, rect)
+        # off-TPU a forced "pallas" runs the same kernel in interpret mode
+        # (Mosaic has no CPU lowering) — used by the CPU-mesh sharding tests
+        cont, ent = cm_covariances(
+            vertices_m, rect, interpret=jax.default_backend() != "tpu"
+        )
     else:
         direct_snaps = direct_cov_all()
         cont, ent = _per_size(

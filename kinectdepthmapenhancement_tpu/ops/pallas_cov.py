@@ -152,23 +152,33 @@ def _cm_covariances_batched(
     return out[:, 0], jnp.moveaxis(out[:, 1:], 1, -1)
 
 
-@functools.partial(jax.custom_batching.custom_vmap)
-def _cm_covariances_single(vertices_m: jnp.ndarray, rect: jnp.ndarray):
-    cnt, cov = _cm_covariances_batched(
-        vertices_m[None], rect[None], tile=48, interpret=False
-    )
-    return cnt[0], cov[0]
+def _make_single(interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def single(vertices_m: jnp.ndarray, rect: jnp.ndarray):
+        cnt, cov = _cm_covariances_batched(
+            vertices_m[None], rect[None], tile=48, interpret=interpret
+        )
+        return cnt[0], cov[0]
+
+    @single.def_vmap
+    def _vmap(axis_size, in_batched, vertices_m, rect):
+        v_b, r_b = in_batched
+        if not v_b:
+            vertices_m = jnp.broadcast_to(
+                vertices_m[None], (axis_size,) + vertices_m.shape
+            )
+        if not r_b:
+            rect = jnp.broadcast_to(rect[None], (axis_size,) + rect.shape)
+        out = _cm_covariances_batched(
+            vertices_m, rect, tile=48, interpret=interpret
+        )
+        return out, (True, True)
+
+    return single
 
 
-@_cm_covariances_single.def_vmap
-def _cm_covariances_vmap(axis_size, in_batched, vertices_m, rect):
-    v_b, r_b = in_batched
-    if not v_b:
-        vertices_m = jnp.broadcast_to(vertices_m[None], (axis_size,) + vertices_m.shape)
-    if not r_b:
-        rect = jnp.broadcast_to(rect[None], (axis_size,) + rect.shape)
-    out = _cm_covariances_batched(vertices_m, rect, tile=48, interpret=False)
-    return out, (True, True)
+_cm_covariances_single = _make_single(interpret=False)
+_cm_covariances_single_interp = _make_single(interpret=True)
 
 
 def cm_covariances(
@@ -184,11 +194,13 @@ def cm_covariances(
     sizes.  Returns (cnt [H, W], cov entries [H, W, 6]) == the XLA path's
     _per_size(rect, 2..21, direct snapshots).  Bit-exact vs that path on TPU.
 
-    Under jax.vmap the custom_vmap rule routes to the natively batched grid.
-    """
-    if interpret or tile != 48:
+    Under jax.vmap the custom_vmap rule routes to the natively batched grid
+    (for interpret mode too — the manual-DMA ANY-space inputs have no
+    generic Pallas batching rule in either mode)."""
+    if tile != 48:
         cnt, cov = _cm_covariances_batched(
             vertices_m[None], rect[None], tile=tile, interpret=interpret
         )
         return cnt[0], cov[0]
-    return _cm_covariances_single(vertices_m, rect)
+    fn = _cm_covariances_single_interp if interpret else _cm_covariances_single
+    return fn(vertices_m, rect)

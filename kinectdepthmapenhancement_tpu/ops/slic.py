@@ -179,6 +179,13 @@ class _CellIndex:
     segment sum: per-cell partials oh^T @ feats -> [r,c,n,F], then a tiny
                  [r*c*n, K] one-hot matmul folds candidates back to clusters.
     All products are exact (bf16 0/1 one-hots x 3-way bf16-split f32 tables).
+
+    (Round-4 note: a band-layout variant — multi-dim dot_general contracting
+    (bs_y, bs_x) directly, and gather as a 64-way select chain over expanded
+    candidate maps — was tried to kill the _to_cells transposes and REGRESSED
+    6.5 -> 26 ms/frame on a v5e chip: the select chain did not fuse and the
+    (rows,cols)-batched multi-dim contraction tiles terribly.  Cell space
+    [rows, cols, P, n] with explicit transposes is the fast layout here.)
     """
 
     def __init__(self, labels: jnp.ndarray, grid: GridParams, r: int, h: int, w: int):
@@ -191,13 +198,7 @@ class _CellIndex:
         self.bs_y, self.bs_x = h // rows, w // cols
         offs = [(dy, dx) for dy in range(-r, r) for dx in range(-r, r)]
         self.n = len(offs)
-        cy = jnp.arange(rows, dtype=jnp.int32)[:, None, None]
-        cx = jnp.arange(cols, dtype=jnp.int32)[None, :, None]
-        dy = jnp.asarray([o[0] for o in offs], jnp.int32)[None, None, :]
-        dx = jnp.asarray([o[1] for o in offs], jnp.int32)[None, None, :]
-        ny, nx = cy + dy, cx + dx
-        in_grid = (ny >= 0) & (ny < rows) & (nx >= 0) & (nx < cols)
-        self.cand = jnp.where(in_grid, ny * cols + nx, -9)  # [rows, cols, n]
+        self.cand = self._cand_grid(offs)           # [rows, cols, n]
         lb = self._to_cells(labels[..., None].astype(jnp.int32))[..., 0]
         self.oh = (lb[..., None] == self.cand[:, :, None, :]).astype(jnp.bfloat16)
         self.cand_flat = self.cand.reshape(-1)
@@ -222,6 +223,18 @@ class _CellIndex:
             .transpose(0, 2, 1, 3, 4)
             .reshape(self.h, self.w, f)
         )
+
+    def _cand_grid(self, offs) -> jnp.ndarray:
+        """[rows, cols, len(offs)] cluster ids of each cell's offset
+        neighbours (-9 outside the grid)."""
+        rows, cols = self.rows, self.cols
+        cy = jnp.arange(rows, dtype=jnp.int32)[:, None, None]
+        cx = jnp.arange(cols, dtype=jnp.int32)[None, :, None]
+        dy = jnp.asarray([o[0] for o in offs], jnp.int32)[None, None, :]
+        dx = jnp.asarray([o[1] for o in offs], jnp.int32)[None, None, :]
+        ny, nx = cy + dy, cx + dx
+        in_grid = (ny >= 0) & (ny < rows) & (nx >= 0) & (nx < cols)
+        return jnp.where(in_grid, ny * cols + nx, -9)
 
     def _cand_table(self, table: jnp.ndarray) -> jnp.ndarray:
         """[K, F] -> [rows, cols, n, F] candidate tables (invalid rows 0)."""
@@ -266,7 +279,10 @@ class _CellIndex:
         )[:, 0]
 
     def pair_counts(self, labels_b: jnp.ndarray) -> jnp.ndarray:
-        """[K, K] f32 occurrences of (own label, labels_b) pixel pairs.
+        """[K, K] f32: POSITIVE where a (own label, labels_b) pixel pair
+        exists, 0 elsewhere.  (Values are existence indicators, not exact
+        pair counts: intermediates are thresholded to 0/1 so every fold is a
+        single bf16 matmul — the CCL consumer only tests > 0.)
 
         labels_b must be a <=1-pixel shift of cell-local labels, so its values
         lie in the ENLARGED (2r+1)^2 candidate set of each pixel's cell.  The
@@ -278,43 +294,32 @@ class _CellIndex:
             (dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)
         ]
         nb = len(offs_b)
-        cy = jnp.arange(rows, dtype=jnp.int32)[:, None, None]
-        cx = jnp.arange(cols, dtype=jnp.int32)[None, :, None]
-        dy = jnp.asarray([o[0] for o in offs_b], jnp.int32)[None, None, :]
-        dx = jnp.asarray([o[1] for o in offs_b], jnp.int32)[None, None, :]
-        ny, nx = cy + dy, cx + dx
-        in_grid = (ny >= 0) & (ny < rows) & (nx >= 0) & (nx < cols)
-        cand_b = jnp.where(in_grid, ny * cols + nx, -9)  # [rows, cols, nb]
+        cand_b = self._cand_grid(offs_b)            # [rows, cols, nb]
         lb_b = self._to_cells(labels_b[..., None].astype(jnp.int32))[..., 0]
         oh_b = (lb_b[..., None] == cand_b[:, :, None, :]).astype(jnp.bfloat16)
-        # per-cell pair matrix in candidate coordinates
+        # per-cell pair existence in candidate coordinates
         m = lax.dot_general(
             self.oh, oh_b,
             dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
             preferred_element_type=jnp.float32,
         ).reshape(rows * cols, self.n, nb)
+        m = (m > 0.0).astype(jnp.bfloat16)          # 0/1: folds stay exact bf16
         oh_bk = tables.one_hot(cand_b, self.k).reshape(rows * cols, nb, self.k)
         oh_ak = tables.one_hot(self.cand, self.k).reshape(
             rows * cols, self.n, self.k
         )
         # fold both candidate axes to cluster ids: sum_c U_a[c]^T m[c] U_b[c]
-        t = None
-        for part in tables.split3(m):
-            o = lax.dot_general(
-                part, oh_bk,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # [C, nA, K]
-            t = o if t is None else t + o
-        out = None
-        for part in tables.split3(t):
-            o = lax.dot_general(
-                oh_ak, part,
-                dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [K, K]
-            out = o if out is None else out + o
-        return out
+        t = lax.dot_general(
+            m, oh_bk,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [C, nA, K]; counts <= nb, exact in f32
+        t = (t > 0.0).astype(jnp.bfloat16)
+        return lax.dot_general(
+            oh_ak, t,
+            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, K]; integer counts < 2^24, exact in f32
 
 
 def _cell_ok(grid: GridParams, h: int, w: int) -> bool:
@@ -503,6 +508,7 @@ def _compute_seeds(
     w: int,
     window: int,
     variant: str,
+    grad_impl: str = "auto",
 ) -> jnp.ndarray:
     """Seed sampling; on the sub-grid fast path the gradient is evaluated
     only where the seed windows can read it (bit-identical by construction)."""
@@ -510,12 +516,17 @@ def _compute_seeds(
     # equal to the unrolled XLA path below — which is kernel-launch-bound)
     from kinectdepthmapenhancement_tpu.ops import pallas_gradient
 
-    use_pallas = pallas_gradient.available()
+    if grad_impl == "auto":
+        use_pallas = pallas_gradient.available()
+    else:
+        use_pallas = grad_impl == "pallas"
 
     def grad(cf, nm):
         if use_pallas:
             return pallas_gradient.seed_gradient(
-                cf, nm if variant == "nasp" else None
+                cf,
+                nm if variant == "nasp" else None,
+                interpret=jax.default_backend() != "tpu",
             )
         if variant == "nasp":
             return _nasp_gradient(cf, nm)
@@ -819,12 +830,16 @@ def _assign(
 
 
 def _window_mask(
-    idx, labels: jnp.ndarray, clusters: Clusters, lo: int, hi: int
+    idx, labels: jnp.ndarray, clusters: Clusters, lo: int, hi: int,
+    cxy: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pixels within the reference's update window [lo, hi] (both dims)
-    relative to their cluster's OLD mean pixel, and with a matching label."""
+    relative to their cluster's OLD mean pixel, and with a matching label.
+    cxy: optionally the pre-gathered [H, W, 2] cluster-centre map (callers
+    that gather more cluster fields fuse this into their own gather)."""
     h, w = labels.shape
-    cxy = idx.gather(clusters.xy.astype(jnp.float32))
+    if cxy is None:
+        cxy = idx.gather(clusters.xy.astype(jnp.float32))
     v = jnp.arange(h, dtype=jnp.float32)[:, None]
     u = jnp.arange(w, dtype=jnp.float32)[None, :]
     dx = u - cxy[..., 0]
@@ -974,7 +989,6 @@ def _update_nasp_weighted(
     pixels with z>50, valid normal, and dot(n, n_cluster) in (0.5, 1]
     (acos(clamped dot) < pi/3)."""
     lo, hi = window_range
-    mask = _window_mask(idx, labels, clusters, lo, hi)
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     g = idx.gather(
@@ -983,6 +997,7 @@ def _update_nasp_weighted(
         )
     )
     c_rgb, c_xy, c_n = g[..., 0:3], g[..., 3:5], g[..., 5:8]
+    mask = _window_mask(idx, labels, clusters, lo, hi, cxy=c_xy)
 
     cdiff = jnp.sum(jnp.square(color_f - c_rgb), axis=-1)
     cfilt = jnp.exp(-cdiff / (2.0 * params.color_sigma**2))
@@ -1089,7 +1104,10 @@ def segment(
     window_range = (-8 * rp, 8 * rp - 1)
 
     if seeds is None:
-        seeds = _compute_seeds(color_f, normals, grid, h, w, seed_window, variant)
+        seeds = _compute_seeds(
+            color_f, normals, grid, h, w, seed_window, variant,
+            grad_impl=params.grad_impl,
+        )
     else:
         seeds = jnp.asarray(seeds, jnp.int32)
     clusters = init_clusters(

@@ -30,22 +30,70 @@ from kinectdepthmapenhancement_tpu.models.pipelines import kde_pipeline
 from kinectdepthmapenhancement_tpu.parallel.mesh import make_mesh
 
 
+def disable_pallas(cfg: KDEConfig) -> KDEConfig:
+    """cfg with every Pallas kernel replaced by its XLA-path twin (bitwise-
+    equal semantics).  Required under GSPMD spatial sharding: a pallas_call
+    is a black box to the partitioner — with a width-sharded operand XLA
+    either fails to propagate a sharding or falls back to full replication
+    (all-gather + redundant compute), so the sharded step must never reach
+    one.  The XLA paths are ordinary jnp programs GSPMD partitions fine."""
+    return dataclasses.replace(
+        cfg,
+        normals=dataclasses.replace(cfg.normals, cov_impl="xla"),
+        nasp=dataclasses.replace(cfg.nasp, grad_impl="xla"),
+    )
+
+
 def sharded_kde_step(mesh: Mesh, intr: Intrinsics, cfg: KDEConfig):
     """Returns a jitted batched KDE step [B,H,W]x[B,H,W,3] -> [B,H,W,3] with
-    batch sharded over 'data' and image width over 'x'."""
-    depth_sharding = NamedSharding(mesh, P("data", None, "x"))
-    color_sharding = NamedSharding(mesh, P("data", None, "x", None))
-    out_sharding = NamedSharding(mesh, P("data", None, "x", None))
+    batch sharded over 'data' and image width over 'x'.
 
-    def step(depth_b, color_b):
+    Two regimes (the Pallas/GSPMD interaction is handled explicitly):
+      * spatial tiling ('x' > 1): GSPMD partitions the jnp pipeline from the
+        input shardings; the Pallas kernels are force-disabled (see
+        disable_pallas) so the partitioner never meets an opaque kernel.
+      * pure data parallelism ('x' == 1): shard_map over 'data' — each
+        device runs the complete pipeline on its local frames (zero
+        cross-device collectives), so the Pallas fast paths stay enabled
+        and see plain local arrays."""
+    spatial = mesh.shape.get("x", 1) > 1
+    if spatial:
+        cfg = disable_pallas(cfg)
+        depth_sharding = NamedSharding(mesh, P("data", None, "x"))
+        color_sharding = NamedSharding(mesh, P("data", None, "x", None))
+        out_sharding = NamedSharding(mesh, P("data", None, "x", None))
+
+        def step(depth_b, color_b):
+            return jax.vmap(
+                lambda d, c: kde_pipeline(d, c, intr, cfg).optimized_points
+            )(depth_b, color_b)
+
+        return jax.jit(
+            step,
+            in_shardings=(depth_sharding, color_sharding),
+            out_shardings=out_sharding,
+        )
+
+    try:  # jax >= 0.8
+        from jax import shard_map
+    except ImportError:  # older spelling
+        from jax.experimental.shard_map import shard_map
+
+    def local_step(depth_b, color_b):
         return jax.vmap(
             lambda d, c: kde_pipeline(d, c, intr, cfg).optimized_points
         )(depth_b, color_b)
 
     return jax.jit(
-        step,
-        in_shardings=(depth_sharding, color_sharding),
-        out_shardings=out_sharding,
+        shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("data", None, None), P("data", None, None, None)),
+            out_specs=P("data", None, None, None),
+            # the Pallas kernels' out_shapes carry no varying-mesh-axes
+            # metadata, which trips jax's vma check inside shard_map
+            check_vma=False,
+        )
     )
 
 

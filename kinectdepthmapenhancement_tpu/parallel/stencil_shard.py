@@ -62,7 +62,10 @@ def _jbf_local(depth_blk, color_blk, p: JBFParams, axis: str, impl: str):
         hp = -(-h // tile) * tile
         dp = jnp.pad(dpad, ((0, hp - h), (0, 0)))
         gp = jnp.pad(guide, ((0, hp - h), (0, 0), (0, 0)))
-        out = jbf_pallas(dp, gp, p, tile=tile)[:h]
+        # off-TPU the kernel runs in interpret mode (CPU-mesh tests)
+        out = jbf_pallas(
+            dp, gp, p, tile=tile, interpret=jax.default_backend() != "tpu"
+        )[:h]
     else:
         out = bilateral._jbf_core(
             dpad,
@@ -88,10 +91,16 @@ def jbf_sharded(
     `axis`.  depth [H, W] f32 mm, color [H, W, 3] u8; W must divide by the
     axis size.  impl="pallas" runs the fused VMEM kernel per shard (TPU)."""
     body = functools.partial(_jbf_local, p=p, axis=axis, impl=impl)
+    kwargs = {}
+    if impl == "pallas":
+        # a pallas_call's out_shape carries no varying-mesh-axes metadata, so
+        # jax's vma check cannot see through it inside shard_map
+        kwargs["check_vma"] = False
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis, None)),
         out_specs=P(None, axis),
+        **kwargs,
     )
     return fn(depth, color)

@@ -119,6 +119,91 @@ def test_jbf_sharded_bitwise_full_res():
 
 
 @requires_8
+def test_jbf_sharded_pallas_interpret_bitwise():
+    """VERDICT r3 #2: the Pallas JBF through the shard_map halo route.  On
+    the CPU mesh the kernel runs in interpret mode; semantics (and therefore
+    the sharding contract) are identical to the TPU lowering."""
+    from kinectdepthmapenhancement_tpu.ops import bilateral
+    from kinectdepthmapenhancement_tpu.parallel.stencil_shard import jbf_sharded
+
+    mesh = make_mesh(4, spatial=4)
+    h, w = 48, 64
+    rng = np.random.default_rng(7)
+    depth = rng.uniform(400.0, 4000.0, (h, w)).astype(np.float32)
+    depth[rng.random((h, w)) < 0.1] = 0.0
+    color = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    d, c = jnp.asarray(depth), jnp.asarray(color)
+
+    got = np.asarray(
+        jax.jit(lambda a, b: jbf_sharded(a, b, mesh, impl="pallas"))(d, c)
+    )
+    want = np.asarray(jax.jit(bilateral.joint_bilateral_filter)(d, c))
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_8
+def test_sharded_kde_spatial_forces_pallas_off():
+    """VERDICT r3 #2: a spatially sharded KDE step with the Pallas flags
+    forced ON must take a well-defined path — sharded_kde_step disables the
+    kernels (GSPMD cannot partition a pallas_call) and still matches the
+    unsharded XLA-path run."""
+    from kinectdepthmapenhancement_tpu.parallel.sharding import disable_pallas
+
+    cfg = dataclasses.replace(KDEConfig(), grid=GridParams(rows=3, cols=4))
+    forced = dataclasses.replace(
+        cfg,
+        normals=dataclasses.replace(cfg.normals, cov_impl="pallas"),
+        nasp=dataclasses.replace(cfg.nasp, grad_impl="pallas"),
+    )
+    off = disable_pallas(forced)
+    assert off.normals.cov_impl == "xla" and off.nasp.grad_impl == "xla"
+
+    mesh = make_mesh(8, spatial=2)
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    rng = np.random.default_rng(3)
+    batch = mesh.shape["data"]
+    depth = jnp.asarray(rng.uniform(500, 4000, (batch, h, w)).astype(np.float32))
+    color = jnp.asarray(rng.integers(0, 255, (batch, h, w, 3), dtype=np.uint8))
+
+    step = sharded_kde_step(mesh, intr, forced)  # must not hit a pallas_call
+    got = np.asarray(step(depth, color))
+    single = jax.jit(
+        jax.vmap(lambda d, c: kde_pipeline(d, c, intr, cfg).optimized_points)
+    )
+    want = np.asarray(single(depth, color))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.5)
+
+
+@requires_8
+def test_sharded_kde_data_parallel_runs_pallas():
+    """Pure data parallelism routes through shard_map, where each device owns
+    whole frames and the Pallas kernels are safe; with the flags forced on
+    (interpret mode on the CPU mesh) the step must execute and match."""
+    mesh = make_mesh(4, spatial=1)
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    cfg = dataclasses.replace(KDEConfig(), grid=GridParams(rows=3, cols=4))
+    forced = dataclasses.replace(
+        cfg,
+        normals=dataclasses.replace(cfg.normals, cov_impl="pallas"),
+        nasp=dataclasses.replace(cfg.nasp, grad_impl="pallas"),
+    )
+    rng = np.random.default_rng(4)
+    batch = mesh.shape["data"]
+    depth = jnp.asarray(rng.uniform(500, 4000, (batch, h, w)).astype(np.float32))
+    color = jnp.asarray(rng.integers(0, 255, (batch, h, w, 3), dtype=np.uint8))
+
+    step = sharded_kde_step(mesh, intr, forced)
+    got = np.asarray(step(depth, color))
+    single = jax.jit(
+        jax.vmap(lambda d, c: kde_pipeline(d, c, intr, cfg).optimized_points)
+    )
+    want = np.asarray(single(depth, color))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=0.5)
+
+
+@requires_8
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
