@@ -126,6 +126,7 @@ def _cmd_evaluate(args: argparse.Namespace) -> int:
             grid=grid,
             timing_iters=args.timing_iters,
             methods=methods,
+            figure_path=args.figure,
         )
         print(evaluate.write_report(args.out, results))
     else:
@@ -137,6 +138,7 @@ def _cmd_evaluate(args: argparse.Namespace) -> int:
             grid=grid,
             timing_iters=args.timing_iters,
             methods=methods,
+            figure_path=args.figure,
         )
     return 0
 
@@ -184,6 +186,11 @@ def main(argv=None) -> int:
     )
     ev.add_argument(
         "--timing-iters", type=int, default=5, help="timed repetitions per method"
+    )
+    ev.add_argument(
+        "--figure",
+        help="write a side-by-side comparison PNG (input / GT / each method "
+        "depth render — the reference's PCL 6-viewport view, main.cpp:362-413)",
     )
     ev.set_defaults(fn=_cmd_evaluate)
 

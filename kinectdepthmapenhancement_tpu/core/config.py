@@ -57,6 +57,11 @@ class SLICParams:
     # off-TPU).  Sharded pipelines force "xla" at spatial > 1: a pallas_call
     # cannot be partitioned by GSPMD (see parallel/sharding.py).
     grad_impl: str = "auto"
+    # NASP cluster-statistics backend: "auto" picks the fused Pallas cell-sums
+    # kernel (ops/pallas_nasp.py; same sums up to f32 accumulation order) on
+    # TPU for single-iteration cell-local segmentations, the one-hot-matmul
+    # XLA route elsewhere.  Same sharding rule as grad_impl.
+    stats_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,6 +12,7 @@ Call-site parameter sets are preserved exactly (see core/config.py).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -151,10 +152,15 @@ def kde_pipeline(
             points, rays, merged.nd_map, merged.labels, merged.variance,
             index=nasp_cell, rep=rep,
         )
-        resid = plane.plane_fit_residual(
-            points, plane_fitted, merged.labels, cfg.grid.num_clusters,
-            index=nasp_cell, rep=rep,
-        )
+        # inf disables the plane-confidence gate STATICALLY (and skips the
+        # residual computation) — exact reference behaviour
+        if math.isinf(cfg.max_plane_residual):
+            resid = None
+        else:
+            resid = plane.plane_fit_residual(
+                points, plane_fitted, merged.labels, cfg.grid.num_clusters,
+                index=nasp_cell, rep=rep,
+            )
         optimized = plane.variance_optimization(
             points,
             plane_fitted,
@@ -209,13 +215,18 @@ def spdsp_pipeline(
     # below max_plane_residual of the cluster centroid depth.  Normalising by
     # centroid z (not plane offset |d|, which shrinks for oblique planes and
     # would disable the gate exactly where planes graze the view direction).
-    resid_rel = jnp.sqrt(jnp.maximum(planes.eigenvalues, 0.0)) / jnp.maximum(
-        jnp.abs(planes.centers[:, 2]), 1.0
-    )
-    plane_ok = tables.gather(
-        (resid_rel < cfg.max_plane_residual).astype(jnp.float32),
-        refined.labels,
-    ) > 0.0
+    # inf disables the gate STATICALLY — exact reference behaviour
+    # (Projection_GPU.cu:274-294 has no gate), tested end to end.
+    if math.isinf(cfg.max_plane_residual):
+        plane_ok = None
+    else:
+        resid_rel = jnp.sqrt(
+            jnp.maximum(planes.eigenvalues, 0.0)
+        ) / jnp.maximum(jnp.abs(planes.centers[:, 2]), 1.0)
+        plane_ok = tables.gather(
+            (resid_rel < cfg.max_plane_residual).astype(jnp.float32),
+            refined.labels,
+        ) > 0.0
     optimized = plane.mrf_optimization(
         rpoints, plane_fitted, rays, cfg.projection, gate_mask=plane_ok
     )

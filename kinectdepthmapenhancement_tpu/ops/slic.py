@@ -829,6 +829,51 @@ def _assign(
 # ----------------------------------------------------------- cluster stats
 
 
+def _use_nasp_kernel(idx, params) -> bool:
+    """The fused Pallas cell-sums kernel applies on the cell-local index
+    (single-iteration NASP); 'auto' enables it on TPU only."""
+    if not isinstance(idx, _CellIndex):
+        return False
+    if params.stats_impl == "auto":
+        from kinectdepthmapenhancement_tpu.ops import pallas_nasp
+
+        return pallas_nasp.available()
+    return params.stats_impl == "pallas"
+
+
+def _nasp_sums_kernel(
+    idx, clusters, color_f, points, normals, window_range, params, mode
+) -> jnp.ndarray:
+    """[K, F] cluster sums via ops/pallas_nasp.py (mode "analyze" or
+    "weighted"); the candidate->cluster fold is the same tiny one-hot matmul
+    as the XLA route."""
+    from kinectdepthmapenhancement_tpu.ops import pallas_nasp
+
+    lo, hi = window_range
+    xy = clusters.xy.astype(jnp.float32)
+    if mode == "analyze":
+        fields = xy
+    else:
+        fields = jnp.concatenate([xy, clusters.rgb, clusters.normal], axis=-1)
+    part_flat = pallas_nasp.nasp_cell_sums(
+        idx.labels,
+        color_f,
+        points,
+        normals,
+        fields.reshape(idx.rows, idx.cols, -1),
+        rows=idx.rows,
+        cols=idx.cols,
+        r=idx.r,
+        lo=lo,
+        hi=hi,
+        mode=mode,
+        color_sigma=params.color_sigma,
+        spatial_sigma=params.spatial_sigma,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return tables.segment_sum(part_flat, idx.cand_flat, idx.k, onehot=idx.oh_k)
+
+
 def _window_mask(
     idx, labels: jnp.ndarray, clusters: Clusters, lo: int, hi: int,
     cxy: Optional[jnp.ndarray] = None,
@@ -922,7 +967,8 @@ def _update_dasp(
 
 
 def _update_nasp_analyze(
-    idx, labels, clusters, color_f, points, normals, grid, window_range, h, w
+    idx, labels, clusters, color_f, points, normals, grid, params,
+    window_range, h, w
 ) -> Clusters:
     """NASP plain stats (analyzeClusters_NASP, NormalAdaptiveSuperpixel.cu:356-685).
 
@@ -931,23 +977,29 @@ def _update_nasp_analyze(
     pixel has valid depth, else the mean of accepted points (reprojection
     fallback dead, bug (c)).  Cluster normal = UNnormalised mean."""
     lo, hi = window_range
-    mask = _window_mask(idx, labels, clusters, lo, hi)
-    v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
-    u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
-    ones = jnp.ones((h, w), jnp.float32)
-    accept = (points[..., 2] > VALID_DEPTH_MM) & _normal_valid_or(normals)
-    acc = accept.astype(jnp.float32)[..., None]
-    feats = jnp.concatenate(
-        [
-            color_f,                           # 0:3
-            jnp.stack([u, v, ones], axis=-1),  # 3:6
-            points * acc,                      # 6:9
-            normals * acc,                     # 9:12
-            acc,                               # 12
-        ],
-        axis=-1,
-    )
-    sums = idx.segment_sum(feats, mask)
+    if _use_nasp_kernel(idx, params):
+        sums = _nasp_sums_kernel(
+            idx, clusters, color_f, points, normals, window_range, params,
+            "analyze",
+        )
+    else:
+        mask = _window_mask(idx, labels, clusters, lo, hi)
+        v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+        u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+        ones = jnp.ones((h, w), jnp.float32)
+        accept = (points[..., 2] > VALID_DEPTH_MM) & _normal_valid_or(normals)
+        acc = accept.astype(jnp.float32)[..., None]
+        feats = jnp.concatenate(
+            [
+                color_f,                           # 0:3
+                jnp.stack([u, v, ones], axis=-1),  # 3:6
+                points * acc,                      # 6:9
+                normals * acc,                     # 9:12
+                acc,                               # 12
+            ],
+            axis=-1,
+        )
+        sums = idx.segment_sum(feats, mask)
     size = sums[:, 5]
     nz = size > 0
     safe = jnp.maximum(size, 1.0)
@@ -989,45 +1041,51 @@ def _update_nasp_weighted(
     pixels with z>50, valid normal, and dot(n, n_cluster) in (0.5, 1]
     (acos(clamped dot) < pi/3)."""
     lo, hi = window_range
-    v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
-    u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
-    g = idx.gather(
-        jnp.concatenate(
-            [clusters.rgb, clusters.xy.astype(jnp.float32), clusters.normal], -1
+    if _use_nasp_kernel(idx, params):
+        sums = _nasp_sums_kernel(
+            idx, clusters, color_f, points, normals, window_range, params,
+            "weighted",
         )
-    )
-    c_rgb, c_xy, c_n = g[..., 0:3], g[..., 3:5], g[..., 5:8]
-    mask = _window_mask(idx, labels, clusters, lo, hi, cxy=c_xy)
+    else:
+        v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+        u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+        g = idx.gather(
+            jnp.concatenate(
+                [clusters.rgb, clusters.xy.astype(jnp.float32), clusters.normal], -1
+            )
+        )
+        c_rgb, c_xy, c_n = g[..., 0:3], g[..., 3:5], g[..., 5:8]
+        mask = _window_mask(idx, labels, clusters, lo, hi, cxy=c_xy)
 
-    cdiff = jnp.sum(jnp.square(color_f - c_rgb), axis=-1)
-    cfilt = jnp.exp(-cdiff / (2.0 * params.color_sigma**2))
-    sdiff = jnp.square(u - c_xy[..., 0]) + jnp.square(v - c_xy[..., 1])
-    sfilt = jnp.exp(-sdiff / (2.0 * params.spatial_sigma**2))
-    wgt = (cfilt * sfilt)[..., None]
+        cdiff = jnp.sum(jnp.square(color_f - c_rgb), axis=-1)
+        cfilt = jnp.exp(-cdiff / (2.0 * params.color_sigma**2))
+        sdiff = jnp.square(u - c_xy[..., 0]) + jnp.square(v - c_xy[..., 1])
+        sfilt = jnp.exp(-sdiff / (2.0 * params.spatial_sigma**2))
+        wgt = (cfilt * sfilt)[..., None]
 
-    dot = jnp.sum(normals * c_n, axis=-1)
-    dclamp = jnp.maximum(dot, 0.0)
-    accept = (
-        (points[..., 2] > VALID_DEPTH_MM)
-        & _normal_valid_or(normals)
-        & (dclamp > 0.5)
-        & (dclamp <= 1.0)
-    )
-    acc = accept.astype(jnp.float32)[..., None]
+        dot = jnp.sum(normals * c_n, axis=-1)
+        dclamp = jnp.maximum(dot, 0.0)
+        accept = (
+            (points[..., 2] > VALID_DEPTH_MM)
+            & _normal_valid_or(normals)
+            & (dclamp > 0.5)
+            & (dclamp <= 1.0)
+        )
+        acc = accept.astype(jnp.float32)[..., None]
 
-    feats = jnp.concatenate(
-        [
-            color_f * wgt,                                  # 0:3
-            jnp.stack([u, v], axis=-1) * wgt,               # 3:5
-            wgt,                                            # 5 weight sum
-            points * acc,                                   # 6:9
-            normals * acc,                                  # 9:12
-            dclamp[..., None] * acc,                        # 12 variance sum
-            acc,                                            # 13 num accepted
-        ],
-        axis=-1,
-    )
-    sums = idx.segment_sum(feats, mask)
+        feats = jnp.concatenate(
+            [
+                color_f * wgt,                                  # 0:3
+                jnp.stack([u, v], axis=-1) * wgt,               # 3:5
+                wgt,                                            # 5 weight sum
+                points * acc,                                   # 6:9
+                normals * acc,                                  # 9:12
+                dclamp[..., None] * acc,                        # 12 variance sum
+                acc,                                            # 13 num accepted
+            ],
+            axis=-1,
+        )
+        sums = idx.segment_sum(feats, mask)
     wsum = sums[:, 5]
     nz = wsum != 0.0
     safe = jnp.where(nz, wsum, 1.0)
@@ -1140,7 +1198,8 @@ def segment(
             )
         else:
             clusters = _update_nasp_analyze(
-                idx, labels, clusters, color_f, points, normals, grid, window_range, h, w
+                idx, labels, clusters, color_f, points, normals, grid, params,
+                window_range, h, w,
             )
             clusters = _update_nasp_weighted(
                 idx, labels, clusters, color_f, points, normals, grid, params,

@@ -40,7 +40,7 @@ def disable_pallas(cfg: KDEConfig) -> KDEConfig:
     return dataclasses.replace(
         cfg,
         normals=dataclasses.replace(cfg.normals, cov_impl="xla"),
-        nasp=dataclasses.replace(cfg.nasp, grad_impl="xla"),
+        nasp=dataclasses.replace(cfg.nasp, grad_impl="xla", stats_impl="xla"),
     )
 
 

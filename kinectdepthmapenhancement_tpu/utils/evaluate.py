@@ -32,7 +32,7 @@ from kinectdepthmapenhancement_tpu.core.config import (
 )
 from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
 from kinectdepthmapenhancement_tpu.models import pipelines
-from kinectdepthmapenhancement_tpu.utils import metrics
+from kinectdepthmapenhancement_tpu.utils import metrics, visualize
 from kinectdepthmapenhancement_tpu.utils.timing import time_pipeline
 
 
@@ -46,6 +46,7 @@ def evaluate(
     grid: Optional[GridParams] = None,
     timing_iters: int = 5,
     methods: Optional[list] = None,
+    figure_path: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     h, w = depth.shape
     if intr is None:
@@ -101,6 +102,7 @@ def evaluate(
         return (jnp.asarray(depth + jitter), c)
 
     out: Dict[str, Dict[str, float]] = {}
+    depth_renders = {}
     for name, fn in runs.items():
         stats = time_pipeline(fn, make_args, iters=timing_iters)
         pts = jax.block_until_ready(jax.jit(fn)(d, c))
@@ -112,6 +114,23 @@ def evaluate(
             "rmse_mm": float(rmse),
             "valid_px": int(n),
         }
+        if figure_path:
+            depth_renders[name] = np.asarray(
+                visualize.depth_rgb(pts[..., 2])
+            )
+
+    if figure_path:
+        # the PCL 6-viewport comparison (main.cpp:362-413): input + GT +
+        # every evaluated method, one captioned montage
+        panels = {"input": depth_renders.get("input")}
+        panels["ground truth"] = np.asarray(
+            visualize.depth_rgb(jnp.asarray(gt_depth))
+        )
+        for name, img in depth_renders.items():
+            if name != "input":
+                panels[name] = img
+        panels = {k: v for k, v in panels.items() if v is not None}
+        visualize.save_png(figure_path, visualize.comparison_figure(panels))
     return out
 
 
@@ -124,6 +143,7 @@ def evaluate_tum(
     grid: Optional[GridParams] = None,
     timing_iters: int = 5,
     methods: Optional[list] = None,
+    figure_path: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Evaluate on a REAL RGB-D sequence (TUM layout) using the reference's
     own capture protocol (main.cpp:86-116): fold the sequence's depth frames
@@ -153,6 +173,7 @@ def evaluate_tum(
         grid=grid,
         timing_iters=timing_iters,
         methods=methods,
+        figure_path=figure_path,
     )
 
 
@@ -179,6 +200,7 @@ def main(
     grid: Optional[GridParams] = None,
     timing_iters: int = 5,
     methods: Optional[list] = None,
+    figure_path: Optional[str] = None,
 ) -> None:
     if path is None:
         path = sys.argv[1] if len(sys.argv) > 1 else "evaluation.txt"
@@ -191,6 +213,7 @@ def main(
         grid=grid,
         timing_iters=timing_iters,
         methods=methods,
+        figure_path=figure_path,
     )
     print(write_report(path, results))
 

@@ -162,6 +162,33 @@ def save_video(path: str, frames, fps: float = 30.0) -> None:
     )
 
 
+def comparison_figure(panels, cols: int = 3, caption_h: int = 18) -> np.ndarray:
+    """Side-by-side montage of captioned depth renders — the reference's PCL
+    6-viewport comparison (INPUT / GROUND TRUTH / MRF / RGBF / JBF / PROPOSED,
+    main.cpp:362-413) as one PNG.
+
+    panels: ordered dict/list of (name, u8 [H, W, 3] image); returns the
+    montage u8 array (rows of `cols` panels, each with a caption bar)."""
+    from PIL import Image, ImageDraw
+
+    items = list(panels.items()) if isinstance(panels, dict) else list(panels)
+    if not items:
+        raise ValueError("no panels")
+    h, w = items[0][1].shape[:2]
+    rows = -(-len(items) // cols)
+    out = np.zeros((rows * (h + caption_h), cols * w, 3), np.uint8)
+    for i, (name, img) in enumerate(items):
+        r, c = divmod(i, cols)
+        y0 = r * (h + caption_h)
+        bar = Image.new("RGB", (w, caption_h), (30, 30, 30))
+        ImageDraw.Draw(bar).text((4, 2), str(name), fill=(255, 255, 255))
+        out[y0 : y0 + caption_h, c * w : (c + 1) * w] = np.asarray(bar)
+        out[y0 + caption_h : y0 + caption_h + h, c * w : (c + 1) * w] = (
+            np.asarray(img, np.uint8)
+        )
+    return out
+
+
 def dump_kde_debug(out_dir: str, res, color, k: int, frame_id: int = 0) -> list:
     """Per-frame debug dumps mirroring the reference's always-on
     cv::imwrite("segmentation.jpg"/"labelImage.jpg") hooks

@@ -19,11 +19,18 @@ import oracle_plane
 import oracle_slic
 
 
-def kde_oracle(depth, color, fx, fy, cx, cy, rows=15, cols=20):
+def kde_oracle(
+    depth, color, fx, fy, cx, cy, rows=15, cols=20,
+    max_fit_residual=0.0025,
+):
     """KinectDepthEnhancement::Process: JBF -> projectiveToReal -> CM normals
     -> NASP(10,50,50,150, iter=1) -> CCL merge -> setPsuedoDepth +
     variance_optimization + depth bilateral.  Returns a dict of every stage
-    output (mm)."""
+    output (mm).
+
+    max_fit_residual: the plane-confidence gate threshold (spec extension,
+    core/config.py); float('inf') reproduces the reference exactly
+    (Projection_GPU.cu:188-211 has no such gate)."""
     h, w = depth.shape
 
     guide = o_bilateral.guide_bilateral(color)
@@ -50,7 +57,7 @@ def kde_oracle(depth, color, fx, fy, cx, cy, rows=15, cols=20):
     )
     opt = oracle_plane.variance_optimization(
         points, plane_fitted, merged["labels"], merged["variance"], merged["sizes"],
-        fit_residual=resid, max_fit_residual=0.0025,
+        fit_residual=resid, max_fit_residual=max_fit_residual,
     )
     final = oracle_plane.depth_bilateral(opt, rays)
     return {

@@ -1,6 +1,7 @@
 """Pallas kernels vs their XLA reference paths (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -163,3 +164,89 @@ def test_seed_gradient_pallas_matches_xla_nasp():
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def _nasp_state(h=96, w=128, rows=3, cols=4, seed=9):
+    """Labels + features in the post-first-assignment regime the cell index
+    requires: every label from its pixel's 8x8 cell neighbourhood or -1."""
+    from kinectdepthmapenhancement_tpu.core.config import GridParams
+
+    rng = np.random.default_rng(seed)
+    grid = GridParams(rows=rows, cols=cols)
+    r = 4
+    cy = np.arange(h)[:, None] // (h // rows)
+    cx = np.arange(w)[None, :] // (w // cols)
+    dy = rng.integers(-r, r, (h, w))
+    dx = rng.integers(-r, r, (h, w))
+    ny = np.clip(cy + dy, 0, rows - 1)
+    nx = np.clip(cx + dx, 0, cols - 1)
+    labels = (ny * cols + nx).astype(np.int32)
+    labels[rng.random((h, w)) < 0.07] = -1
+    color_f = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+    points = rng.uniform(100.0, 4000.0, (h, w, 3)).astype(np.float32)
+    points[rng.random((h, w)) < 0.1] = 0.0
+    normals = rng.normal(size=(h, w, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    normals[rng.random((h, w)) < 0.15] = -1.0
+    return grid, labels, color_f, points, normals
+
+
+@pytest.mark.parametrize("mode", ["analyze", "weighted"])
+def test_nasp_cell_sums_pallas_matches_xla(mode):
+    """ops/pallas_nasp.py (interpret) == the _CellIndex one-hot-matmul route
+    for both stats sweeps, on adversarial labels (invalids, window misses)."""
+    import dataclasses
+
+    from kinectdepthmapenhancement_tpu.core.config import SLICParams
+    from kinectdepthmapenhancement_tpu.ops import slic
+
+    grid, labels, color_f, points, normals = _nasp_state()
+    h, w = labels.shape
+    params = SLICParams(10.0, 50.0, 50.0, 150.0, 1)
+    rng = np.random.default_rng(1)
+    k = grid.num_clusters
+    clusters = slic.Clusters(
+        rgb=jnp.asarray(rng.integers(0, 255, (k, 3)).astype(np.float32)),
+        xy=jnp.asarray(
+            np.stack(
+                [rng.integers(0, w, k), rng.integers(0, h, k)], -1
+            ).astype(np.int32)
+        ),
+        size=jnp.zeros((k,), jnp.int32),
+        center=jnp.asarray(rng.uniform(100, 4000, (k, 3)).astype(np.float32)),
+        normal=jnp.asarray(
+            rng.normal(size=(k, 3)).astype(np.float32)
+        ),
+        variance=jnp.zeros((k,), jnp.float32),
+    )
+    idx = slic._CellIndex(jnp.asarray(labels), grid, 4, h, w)
+    window_range = (-24, 23)
+
+    slic.tables.force_mode("mxu")
+    try:
+        update = (
+            slic._update_nasp_analyze
+            if mode == "analyze"
+            else slic._update_nasp_weighted
+        )
+        want = update(
+            idx, jnp.asarray(labels), clusters, jnp.asarray(color_f),
+            jnp.asarray(points), jnp.asarray(normals), grid,
+            dataclasses.replace(params, stats_impl="xla"), window_range, h, w,
+        )
+        got = update(
+            idx, jnp.asarray(labels), clusters, jnp.asarray(color_f),
+            jnp.asarray(points), jnp.asarray(normals), grid,
+            dataclasses.replace(params, stats_impl="pallas"), window_range, h, w,
+        )
+    finally:
+        slic.tables.force_mode(None)
+
+    for name in ("rgb", "xy", "size", "center", "normal", "variance"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(want, name)),
+            rtol=2e-5,
+            atol=2e-3,
+            err_msg=f"{mode}.{name}",
+        )
