@@ -46,6 +46,20 @@ N_ANALYZE = 13   # color3, u, v, 1, p*acc 3, n*acc 3, acc
 N_WEIGHTED = 14  # color3*w, u*w, v*w, w, p*acc 3, n*acc 3, dclamp*acc, acc
 
 
+def _sweep(n: int, body, init, unrolled: bool):
+    """Run an offset sweep either UNROLLED (static row slices + static lane
+    rolls: what Mosaic pipelines best on TPU — the fori form costs ~25%
+    runtime) or under lax.fori_loop (what keeps interpret-mode XLA compiles
+    tractable: the unrolled form took minutes to build).  The body sees the
+    same j sequence either way, so results are identical."""
+    if unrolled:
+        carry = init
+        for j in range(n):
+            carry = body(j, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, init)
+
+
 def _stats_kernel(
     planes_ref,  # [9, bs_y, wp] f32: color 3, points 3, normals 3 (slab)
     lab_ref,     # [bs_y, wp] f32 labels (-1 invalid; pad lanes -1)
@@ -64,34 +78,40 @@ def _stats_kernel(
     hi: float,
     color_sigma: float,
     spatial_sigma: float,
+    unrolled: bool,
 ):
     pid = pl.program_id(0)
     nf = exp_ref.shape[1]
+    n = (2 * r) ** 2
     lab = lab_ref[...]
     color = [planes_ref[i] for i in range(3)]
     pts = [planes_ref[3 + i] for i in range(3)]
     nrm = [planes_ref[6 + i] for i in range(3)]
 
-    def cand_rows(dy):
-        """[nf, wp] candidate field maps of cell row pid+dy (dx=0)."""
-        blk = exp_ref[pl.ds(pid + dy + r, 1)]  # [1, nf, wp]
-        return blk[0]
-
-    def rolled(row_maps, dx):
-        """Candidate maps displaced dx cells along the lanes."""
-        if dx == 0:
-            return row_maps
-        return pltpu.roll(row_maps, (-dx * bs_x) % wp, axis=1)
+    def maps_at(j):
+        """[nf, wp] candidate field maps of offset index j (dy-major order,
+        matching slic._CellIndex.cand).  The row index and the lane-roll
+        shift are TRACED — the offset sweeps run under lax.fori_loop because
+        unrolling 64 offsets x several passes makes Mosaic/interpret compile
+        times explode (the pallas_gradient.py lesson)."""
+        dy = j // (2 * r) - r
+        dx = j % (2 * r) - r
+        base = exp_ref[pl.ds(pid + dy + r, 1)][0]  # [nf, wp]
+        return pltpu.roll(base, ((-dx) * bs_x) % wp, axis=1)
 
     # ---- pass A: select the ASSIGNED cluster's fields per pixel
-    sel = [jnp.zeros((bs_y, wp), jnp.float32) for _ in range(nf - 1)]
-    for dy in range(-r, r):
-        base = cand_rows(dy)
-        for dx in range(-r, r):
-            maps = rolled(base, dx)
-            m = lab == maps[0:1]
-            for f in range(1, nf):
-                sel[f - 1] = jnp.where(m, maps[f : f + 1], sel[f - 1])
+    def body_sel(j, sel):
+        maps = maps_at(j)
+        m = lab == maps[0:1]
+        return tuple(
+            jnp.where(m, maps[f : f + 1], sel[f - 1]) for f in range(1, nf)
+        )
+
+    sel = _sweep(
+        n, body_sel,
+        tuple(jnp.zeros((bs_y, wp), jnp.float32) for _ in range(nf - 1)),
+        unrolled,
+    )
 
     u = jax.lax.broadcasted_iota(jnp.int32, (bs_y, wp), 1).astype(jnp.float32)
     v = (
@@ -145,19 +165,276 @@ def _stats_kernel(
 
     # ---- pass B: per-offset masked sums, folded to cell columns on the MXU
     fold = fold_ref[...]
-    chunks = []
-    for dy in range(-r, r):
-        base = cand_rows(dy)
-        for dx in range(-r, r):
-            maps = rolled(base, dx)
-            mm = ((lab == maps[0:1]) & inside).astype(jnp.float32)
-            s = jnp.concatenate(
-                [jnp.sum(f * mm, axis=0, keepdims=True) for f in feats]
-            )  # [F, wp]
-            chunks.append(
-                jax.lax.dot(s, fold, preferred_element_type=jnp.float32)
-            )
-    out_ref[0] = jnp.concatenate(chunks, axis=0)  # [n*F, colsp]
+    nfeat = len(feats)
+
+    def body_sums(j, carry):
+        maps = maps_at(j)
+        mm = ((lab == maps[0:1]) & inside).astype(jnp.float32)
+        s = jnp.concatenate(
+            [jnp.sum(f * mm, axis=0, keepdims=True) for f in feats]
+        )  # [F, wp]
+        o = jax.lax.dot(s, fold, preferred_element_type=jnp.float32)
+        out_ref[0, pl.ds(j * nfeat, nfeat), :] = o
+        return carry
+
+    _sweep(n, body_sums, 0, unrolled)
+
+
+INIT_DISTANCE = 999999.9  # slic.INIT_DISTANCE (not-in-grid candidate cost)
+
+
+def _assign_analyze_kernel(
+    planes_ref,  # [9, bs_y, wp] f32: color 3, points 3, normals 3 (slab)
+    exp_ref,     # [rows + 2r, 10, wp] f32: id, rgb 3, x, y, center_z, normal 3
+    fold_ref,    # [wp, colsp] f32 0/1 lane -> cell-column fold
+    lab_out,     # [bs_y, wp] f32 labels
+    dist_out,    # [bs_y, wp] f32 distances
+    sums_out,    # [1, n*N_ANALYZE, colsp] f32
+    *,
+    rows: int,
+    r: int,
+    bs_x: int,
+    bs_y: int,
+    wp: int,
+    colsp: int,
+    lo: float,
+    hi: float,
+    w_col: float,
+    w_spa: float,
+    w_dep: float,
+    w_nor: float,
+    s_scale: float,
+    apply_invalid: bool,
+    unrolled: bool,
+):
+    """NASP first-iteration assignment (calculateLD_NASP,
+    NormalAdaptiveSuperpixel.cu:184-354, cell_fast form: candidates are a
+    pure function of the grid cell) fused with the analyze stats sweep —
+    identical distance arithmetic and offset order to the XLA band-space
+    path, so labels match it."""
+    pid = pl.program_id(0)
+    n = (2 * r) ** 2
+    color = [planes_ref[i] for i in range(3)]
+    pts = [planes_ref[3 + i] for i in range(3)]
+    nrm = [planes_ref[6 + i] for i in range(3)]
+    zc = pts[2]
+
+    def maps_at(j):
+        """See _stats_kernel.maps_at — offset sweeps run under fori_loop."""
+        dy = j // (2 * r) - r
+        dx = j % (2 * r) - r
+        base = exp_ref[pl.ds(pid + dy + r, 1)][0]  # [10, wp]
+        return pltpu.roll(base, ((-dx) * bs_x) % wp, axis=1)
+
+    u = jax.lax.broadcasted_iota(jnp.int32, (bs_y, wp), 1).astype(jnp.float32)
+    v = (
+        jax.lax.broadcasted_iota(jnp.int32, (bs_y, wp), 0).astype(jnp.float32)
+        + jnp.float32(bs_y) * pid.astype(jnp.float32)
+    )
+    nv_pix = (
+        (nrm[0] != INVALID_NORMAL)
+        | (nrm[1] != INVALID_NORMAL)
+        | (nrm[2] != INVALID_NORMAL)
+    )
+    own_id = exp_ref[pl.ds(pid + r, 1)][0][0:1]  # grid-init label per lane
+
+    def body_dist(j, carry):
+        bd, bl = carry
+        maps = maps_at(j)
+        rid = maps[0:1]
+        c_rgb = maps[1:4]
+        c_x, c_y = maps[4:5], maps[5:6]
+        c_cz = maps[6:7]
+        c_n = maps[7:10]
+        cd = (
+            jnp.square(color[0] - c_rgb[0:1])
+            + jnp.square(color[1] - c_rgb[1:2])
+        ) + jnp.square(color[2] - c_rgb[2:3])
+        pd = jnp.sqrt(jnp.square(u - c_x) + jnp.square(v - c_y)) * (
+            s_scale**2
+        )
+        zpair = (zc > VALID_DEPTH_MM) & (c_cz > VALID_DEPTH_MM)
+        dd = jnp.where(zpair, jnp.abs(zc - c_cz), 0.0)
+        dist = cd * w_col + pd * w_spa + dd * w_dep
+        nv_cand = (
+            (c_n[0:1] != INVALID_NORMAL)
+            | (c_n[1:2] != INVALID_NORMAL)
+            | (c_n[2:3] != INVALID_NORMAL)
+        )
+        npair = zpair & nv_pix & nv_cand
+        dot = (
+            nrm[0] * c_n[0:1] + nrm[1] * c_n[1:2]
+        ) + nrm[2] * c_n[2:3]
+        nd = jnp.where(
+            npair, 255.0**2 * (1.0 - jnp.maximum(dot, 0.0)), 0.0
+        )
+        dist = dist + nd * w_nor
+        ing = rid >= 0.0
+        cand_d = jnp.where(ing, dist, INIT_DISTANCE)
+        cand_l = jnp.where(ing, rid, own_id)
+        take = cand_d < bd
+        return jnp.where(take, cand_d, bd), jnp.where(take, cand_l, bl)
+
+    bd, bl = _sweep(
+        n, body_dist,
+        (
+            jnp.full((bs_y, wp), jnp.inf, jnp.float32),
+            jnp.full((bs_y, wp), -1.0, jnp.float32),
+        ),
+        unrolled,
+    )
+
+    if apply_invalid:
+        invalid = zc < VALID_DEPTH_MM
+        bl = jnp.where(invalid, -1.0, bl)
+        bd = jnp.where(invalid, 0.0, bd)
+    lab_out[...] = bl
+    dist_out[...] = bd
+
+    # ---- analyze stats over the freshly assigned labels (same code shape
+    # as _stats_kernel mode="analyze")
+    def body_sel(j, sel):
+        maps = maps_at(j)
+        m = bl == maps[0:1]
+        return (
+            jnp.where(m, maps[4:5], sel[0]),
+            jnp.where(m, maps[5:6], sel[1]),
+        )
+
+    sel_x, sel_y = _sweep(
+        n, body_sel,
+        (
+            jnp.zeros((bs_y, wp), jnp.float32),
+            jnp.zeros((bs_y, wp), jnp.float32),
+        ),
+        unrolled,
+    )
+
+    dxp = u - sel_x
+    dyp = v - sel_y
+    inside = (
+        (dxp >= lo) & (dxp <= hi) & (dyp >= lo) & (dyp <= hi) & (bl >= 0.0)
+    )
+    acc = ((zc > VALID_DEPTH_MM) & nv_pix).astype(jnp.float32)
+    feats = (
+        color[0], color[1], color[2], u, v, jnp.ones((bs_y, wp), jnp.float32),
+        pts[0] * acc, pts[1] * acc, pts[2] * acc,
+        nrm[0] * acc, nrm[1] * acc, nrm[2] * acc, acc,
+    )
+    fold = fold_ref[...]
+    nfeat = len(feats)
+
+    def body_sums(j, carry):
+        maps = maps_at(j)
+        mm = ((bl == maps[0:1]) & inside).astype(jnp.float32)
+        s = jnp.concatenate(
+            [jnp.sum(f * mm, axis=0, keepdims=True) for f in feats]
+        )
+        o = jax.lax.dot(s, fold, preferred_element_type=jnp.float32)
+        sums_out[0, pl.ds(j * nfeat, nfeat), :] = o
+        return carry
+
+    _sweep(n, body_sums, 0, unrolled)
+
+
+def nasp_assign_and_analyze(
+    color_f: jnp.ndarray,      # [H, W, 3] f32
+    points: jnp.ndarray,       # [H, W, 3] f32 mm
+    normals: jnp.ndarray,      # [H, W, 3] f32
+    cand_fields: jnp.ndarray,  # [rows, cols, 9]: rgb3, x, y, center_z, normal3
+    *,
+    rows: int,
+    cols: int,
+    r: int,
+    lo: float,
+    hi: float,
+    w_col: float,
+    w_spa: float,
+    w_dep: float,
+    w_nor: float,
+    s_scale: float,
+    apply_invalid: bool,
+    interpret: bool = False,
+):
+    """Fused NASP first-iteration assignment + analyze sums.  Returns
+    (labels [H, W] i32, distance [H, W] f32, part_flat [rows*cols*n, 13])."""
+    h, w = color_f.shape[:2]
+    bs_y, bs_x = h // rows, w // cols
+    n = (2 * r) ** 2
+    wp = -(-(w + 2 * r * bs_x) // 128) * 128
+    colsp = -(-cols // 128) * 128
+
+    ids = jnp.arange(rows * cols, dtype=jnp.float32).reshape(rows, cols, 1)
+    exp = jnp.concatenate([ids, cand_fields.astype(jnp.float32)], axis=-1)
+    nf = exp.shape[-1]
+    pad_row = jnp.zeros((r, cols, nf), jnp.float32).at[..., 0].set(SENTINEL_ID)
+    exp = jnp.concatenate([pad_row, exp, pad_row], axis=0)
+    exp = jnp.repeat(exp, bs_x, axis=1)
+    exp = jnp.pad(exp, ((0, 0), (0, wp - w), (0, 0)))
+    exp = exp.at[:, w:, 0].set(SENTINEL_ID)
+    exp = jnp.moveaxis(exp, -1, 1)  # [rows+2r, nf, wp]
+
+    planes = jnp.concatenate([color_f, points, normals], axis=-1)
+    planes = jnp.pad(jnp.moveaxis(planes, -1, 0), ((0, 0), (0, 0), (0, wp - w)))
+
+    lane_cell = jnp.arange(wp) // bs_x
+    fold = (
+        (lane_cell[:, None] == jnp.arange(colsp)[None, :])
+        & (jnp.arange(wp) < w)[:, None]
+    ).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _assign_analyze_kernel,
+        rows=rows,
+        r=r,
+        bs_x=bs_x,
+        bs_y=bs_y,
+        wp=wp,
+        colsp=colsp,
+        lo=float(lo),
+        hi=float(hi),
+        w_col=float(w_col),
+        w_spa=float(w_spa),
+        w_dep=float(w_dep),
+        w_nor=float(w_nor),
+        s_scale=float(s_scale),
+        apply_invalid=apply_invalid,
+        unrolled=not interpret,
+    )
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except AttributeError:  # older JAX spelling
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    lab, dist, sums = pl.pallas_call(
+        kernel,
+        grid=(rows,),
+        compiler_params=compiler_params,
+        in_specs=[
+            pl.BlockSpec((9, bs_y, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(exp.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fold.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bs_y, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs_y, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n * N_ANALYZE, colsp), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, wp), jnp.float32),
+            jax.ShapeDtypeStruct((h, wp), jnp.float32),
+            jax.ShapeDtypeStruct((rows, n * N_ANALYZE, colsp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(planes, exp, fold)
+
+    labels = lab[:, :w].astype(jnp.int32)
+    distance = dist[:, :w]
+    out = sums.reshape(rows, n, N_ANALYZE, colsp)[..., :cols]
+    part_flat = jnp.transpose(out, (0, 3, 1, 2)).reshape(-1, N_ANALYZE)
+    return labels, distance, part_flat
 
 
 def nasp_cell_sums(
@@ -227,6 +504,7 @@ def nasp_cell_sums(
         hi=float(hi),
         color_sigma=float(color_sigma),
         spatial_sigma=float(spatial_sigma),
+        unrolled=not interpret,
     )
     try:
         compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)

@@ -829,16 +829,19 @@ def _assign(
 # ----------------------------------------------------------- cluster stats
 
 
-def _use_nasp_kernel(idx, params) -> bool:
-    """The fused Pallas cell-sums kernel applies on the cell-local index
-    (single-iteration NASP); 'auto' enables it on TPU only."""
-    if not isinstance(idx, _CellIndex):
-        return False
+def _stats_impl_on(params) -> bool:
+    """'auto' enables the fused Pallas NASP kernels on TPU only."""
     if params.stats_impl == "auto":
         from kinectdepthmapenhancement_tpu.ops import pallas_nasp
 
         return pallas_nasp.available()
     return params.stats_impl == "pallas"
+
+
+def _use_nasp_kernel(idx, params) -> bool:
+    """The fused Pallas cell-sums kernel applies on the cell-local index
+    (single-iteration NASP)."""
+    return isinstance(idx, _CellIndex) and _stats_impl_on(params)
 
 
 def _nasp_sums_kernel(
@@ -872,6 +875,63 @@ def _nasp_sums_kernel(
         interpret=jax.default_backend() != "tpu",
     )
     return tables.segment_sum(part_flat, idx.cand_flat, idx.k, onehot=idx.oh_k)
+
+
+def _nasp_fused_first_iteration(
+    clusters: Clusters,
+    color_f, points, normals,
+    grid: GridParams,
+    params: SLICParams,
+    window_range,
+    h: int,
+    w: int,
+):
+    """Fused Pallas first-iteration NASP: assignment + analyze sums in one
+    kernel launch (ops/pallas_nasp.py::nasp_assign_and_analyze), replacing
+    the XLA band-space assignment (64-offset select chain + candidate
+    expands).  Returns (labels, distance, analyze-updated clusters, idx)."""
+    from kinectdepthmapenhancement_tpu.ops import pallas_nasp
+
+    lo, hi = window_range
+    ws_x, ws_y = _grid_geometry(grid, h, w)
+    s_scale = (ws_x + ws_y) / 2.0
+    total = (
+        params.spatial_sigma + params.color_sigma + params.depth_sigma
+        + params.normal_sigma
+    )
+    cand_fields = jnp.concatenate(
+        [
+            clusters.rgb,
+            clusters.xy.astype(jnp.float32),
+            clusters.center[:, 2:3],
+            clusters.normal,
+        ],
+        axis=-1,
+    ).reshape(grid.rows, grid.cols, 9)
+    labels, distance, part_flat = pallas_nasp.nasp_assign_and_analyze(
+        color_f,
+        points,
+        normals,
+        cand_fields,
+        rows=grid.rows,
+        cols=grid.cols,
+        r=4,
+        lo=lo,
+        hi=hi,
+        w_col=(params.color_sigma / total) ** 2,
+        w_spa=(params.spatial_sigma / total) ** 2,
+        w_dep=(params.depth_sigma / total) ** 2,
+        w_nor=(params.normal_sigma / total) ** 2,
+        s_scale=s_scale,
+        apply_invalid=(
+            params.depth_sigma != 0.0 or params.normal_sigma != 0.0
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+    idx = _CellIndex(labels, grid, 4, h, w)
+    sums = tables.segment_sum(part_flat, idx.cand_flat, idx.k, onehot=idx.oh_k)
+    new_clusters = _nasp_analyze_post(sums, clusters, points, h, w)
+    return labels, distance, new_clusters, idx
 
 
 def _window_mask(
@@ -1000,6 +1060,12 @@ def _update_nasp_analyze(
             axis=-1,
         )
         sums = idx.segment_sum(feats, mask)
+    return _nasp_analyze_post(sums, clusters, points, h, w)
+
+
+def _nasp_analyze_post(sums, clusters, points, h, w) -> Clusters:
+    """Post-processing of the analyze sums (shared by the XLA, Pallas-stats
+    and fused assignment+stats routes)."""
     size = sums[:, 5]
     nz = size > 0
     safe = jnp.maximum(size, 1.0)
@@ -1178,6 +1244,23 @@ def segment(
 
     def iteration(state, first: bool):
         labels, distance, clusters = state
+        if (
+            first
+            and cell_fast
+            and variant == "nasp"
+            and _stats_impl_on(params)
+        ):
+            # fully fused first iteration: assignment + analyze sums in one
+            # Pallas launch, weighted sums in a second
+            labels, distance, clusters, idx = _nasp_fused_first_iteration(
+                clusters, color_f, points, normals, grid, params,
+                window_range, h, w,
+            )
+            clusters = _update_nasp_weighted(
+                idx, labels, clusters, color_f, points, normals, grid,
+                params, window_range, h, w,
+            )
+            return labels, distance, clusters
         labels, distance = _assign(
             labels, distance, clusters, color_f, points, normals,
             grid, params, variant, neighborhood, s_scale,

@@ -1,0 +1,66 @@
+"""Sustained streaming throughput (VERDICT r3 #7): push a couple hundred
+sensor-model frames through models/streaming.py::run_stream in chunked
+dispatches and record end-to-end wall-clock fps — the serving number that
+includes H2D uploads, the per-dispatch RPC floor of the remote tunnel, the
+temporal-buffer fold, and the per-chunk metric readback (vs the device-only
+rate of scripts/measure_kde.py).
+
+Usage: python scripts/stream_bench.py [--frames 200] [--batch 8]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import numpy as np
+
+
+def main() -> None:
+    n_frames = (
+        int(sys.argv[sys.argv.index("--frames") + 1])
+        if "--frames" in sys.argv
+        else 200
+    )
+    batch = (
+        int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 8
+    )
+
+    from kinectdepthmapenhancement_tpu.core.camera import default_kinect_intrinsics
+    from kinectdepthmapenhancement_tpu.core.datasets import kinect_v1_sensor_model
+    from kinectdepthmapenhancement_tpu.core.testdata import make_far_scene
+    from kinectdepthmapenhancement_tpu.models import streaming
+
+    h, w = 480, 640
+    intr = default_kinect_intrinsics(w, h)
+    color, gt = make_far_scene(h, w, intr, seed=0)
+    rng = np.random.default_rng(0)
+    # pre-generate every frame: the bench times the PIPELINE, not the host
+    # sensor simulator; each frame is distinct (fresh noise) so the runtime's
+    # (executable, input) memo cannot fake results (PERF.md methodology)
+    frames = [kinect_v1_sensor_model(gt, rng) for _ in range(n_frames)]
+
+    # warm-up chunk compiles outside the timed window
+    streaming.run_stream(
+        iter(frames[: batch * 2]), color, intr, batch=batch
+    )
+
+    t0 = time.perf_counter()
+    state = streaming.run_stream(iter(frames), color, intr, batch=batch)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    print(
+        f"streamed {state.frame_index} frames in {dt:.2f}s "
+        f"(batch={batch}): {fps:.1f} fps sustained; "
+        f"mean kde error {streaming.mean_metric(state, 'kde_error_mm'):.3f} mm"
+    )
+
+
+if __name__ == "__main__":
+    main()

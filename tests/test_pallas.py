@@ -250,3 +250,64 @@ def test_nasp_cell_sums_pallas_matches_xla(mode):
             atol=2e-3,
             err_msg=f"{mode}.{name}",
         )
+
+
+def test_nasp_fused_assign_analyze_matches_xla():
+    """The fully fused first iteration (assignment + analyze + weighted via
+    ops/pallas_nasp.py, interpret mode) vs the XLA band-space route through
+    the public segment() API: labels EXACT, cluster stats close."""
+    import dataclasses
+
+    from kinectdepthmapenhancement_tpu.core.camera import (
+        default_kinect_intrinsics,
+        projective_to_real,
+    )
+    from kinectdepthmapenhancement_tpu.core.config import GridParams, SLICParams
+    from kinectdepthmapenhancement_tpu.core.testdata import make_noisy_scene
+    from kinectdepthmapenhancement_tpu.ops import normals as normals_mod
+    from kinectdepthmapenhancement_tpu.ops import slic
+
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    color, noisy, _ = make_noisy_scene(h, w, intr, seed=5)
+    pts = projective_to_real(jnp.asarray(noisy), intr)
+    nmap = normals_mod.generate_normal_map(pts)
+    grid = GridParams(rows=3, cols=4)
+    params = SLICParams(10.0, 50.0, 50.0, 150.0, 1)
+    rng = np.random.default_rng(2)
+    seeds = np.stack(
+        [rng.integers(0, w, grid.num_clusters), rng.integers(0, h, grid.num_clusters)],
+        axis=-1,
+    ).astype(np.int32)
+
+    slic.force_cell(True)
+    slic.tables.force_mode("mxu")
+    try:
+        want = slic.segment(
+            jnp.asarray(color), pts, nmap, grid=grid,
+            params=dataclasses.replace(params, stats_impl="xla"),
+            variant="nasp", seeds=seeds,
+        )
+        got = slic.segment(
+            jnp.asarray(color), pts, nmap, grid=grid,
+            params=dataclasses.replace(params, stats_impl="pallas"),
+            variant="nasp", seeds=seeds,
+        )
+    finally:
+        slic.force_cell(None)
+        slic.tables.force_mode(None)
+
+    np.testing.assert_array_equal(
+        np.asarray(got.labels), np.asarray(want.labels)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.distance), np.asarray(want.distance), rtol=1e-6, atol=1e-2
+    )
+    for name in ("rgb", "xy", "size", "center", "normal", "variance"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.clusters, name)),
+            np.asarray(getattr(want.clusters, name)),
+            rtol=2e-5,
+            atol=2e-3,
+            err_msg=name,
+        )
