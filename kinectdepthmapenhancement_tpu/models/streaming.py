@@ -17,6 +17,7 @@ loop (main.cpp:86-116).  This runner generalises it for production use:
 
 from __future__ import annotations
 
+import functools
 from typing import Iterator, List, Optional
 
 import jax
@@ -28,6 +29,34 @@ from kinectdepthmapenhancement_tpu.core.camera import Intrinsics, projective_to_
 from kinectdepthmapenhancement_tpu.core.config import KDEConfig
 from kinectdepthmapenhancement_tpu.models.pipelines import kde_pipeline
 from kinectdepthmapenhancement_tpu.utils import checkpoint, metrics
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_step(intr: Intrinsics, cfg: KDEConfig):
+    """Jitted chunk executable, cached at module level so successive
+    run_stream calls in one process reuse the trace + executable (a fresh
+    jit wrapper per call cost a full retrace and, cold, a multi-minute
+    XLA compile of the combined program).  Colour is a traced argument."""
+
+    @jax.jit
+    def step(buf: buffer2d.DepthBuffer, depths: jnp.ndarray, c: jnp.ndarray):
+        """depths: [B, H, W].  KDE runs vmapped (frames are independent);
+        the temporal buffer + metric fold is a scan in the same executable."""
+        pts = jax.vmap(
+            lambda d: kde_pipeline(d, c, intr, cfg).optimized_points
+        )(depths)
+
+        def body(b, xs):
+            depth, p = xs
+            b = buffer2d.update(b, depth)
+            ref_pts = projective_to_real(b.depth, intr)
+            err, n = metrics.mean_3d_error(p, ref_pts)
+            return b, (err * n.astype(jnp.float32), n)
+
+        buf, (errs, ns) = jax.lax.scan(body, buf, (depths, pts))
+        return buf, jnp.sum(errs), jnp.sum(ns)
+
+    return step
 
 
 def run_stream(
@@ -58,30 +87,13 @@ def run_stream(
         )
 
     c = jnp.asarray(color)
-
-    @jax.jit
-    def chunk_step(buf: buffer2d.DepthBuffer, depths: jnp.ndarray):
-        """depths: [B, H, W].  KDE runs vmapped (frames are independent);
-        the temporal buffer + metric fold is a scan in the same executable."""
-        pts = jax.vmap(
-            lambda d: kde_pipeline(d, c, intr, cfg).optimized_points
-        )(depths)
-
-        def body(b, xs):
-            depth, p = xs
-            b = buffer2d.update(b, depth)
-            ref_pts = projective_to_real(b.depth, intr)
-            err, n = metrics.mean_3d_error(p, ref_pts)
-            return b, (err * n.astype(jnp.float32), n)
-
-        buf, (errs, ns) = jax.lax.scan(body, buf, (depths, pts))
-        return buf, jnp.sum(errs), jnp.sum(ns)
+    chunk_step = _chunk_step(intr, cfg)
 
     def flush(chunk: List[np.ndarray]) -> None:
         if not chunk:
             return
         depths = jnp.asarray(np.stack(chunk))
-        buf, err_sum, n_sum = chunk_step(state.buffer, depths)
+        buf, err_sum, n_sum = chunk_step(state.buffer, depths, c)
         state.buffer = buf
         # ONE host readback per chunk (two scalars), not per frame
         state.metric_sums["kde_error_mm"] += float(err_sum)

@@ -37,6 +37,7 @@ def main() -> None:
     from kinectdepthmapenhancement_tpu.core.testdata import make_far_scene
     from kinectdepthmapenhancement_tpu.models import streaming
 
+    n_frames -= n_frames % batch  # a tail chunk would compile mid-benchmark
     h, w = 480, 640
     intr = default_kinect_intrinsics(w, h)
     color, gt = make_far_scene(h, w, intr, seed=0)
