@@ -135,7 +135,10 @@ def kde_pipeline(
     # single-iteration NASP labels are cell-local, so CCL can reuse the
     # cell-local index (XLA CSEs its one-hot with the SLIC-internal one)
     nasp_cell = (
-        slic.cell_index(nasp.labels, cfg.grid, neighborhood=8)
+        slic.cell_index(
+            nasp.labels, cfg.grid, neighborhood=8,
+            stats_impl=cfg.nasp.stats_impl,
+        )
         if cfg.nasp.iterations == 1
         else None
     )

@@ -180,6 +180,124 @@ def _stats_kernel(
     _sweep(n, body_sums, 0, unrolled)
 
 
+def _label_sums_kernel(
+    feats_ref,   # [F, bs_y, wp] f32 pre-masked feature planes (slab)
+    lab_ref,     # [bs_y, wp] f32 labels (-1 invalid; pad lanes -1)
+    exp_ref,     # [rows + 2r, 1, wp] f32 candidate id maps
+    fold_ref,    # [wp, colsp] f32 0/1 lane -> cell-column fold
+    out_ref,     # [1, n*F, colsp] f32
+    *,
+    rows: int,
+    r: int,
+    bs_x: int,
+    bs_y: int,
+    wp: int,
+    colsp: int,
+    nfeat: int,
+    unrolled: bool,
+):
+    """Generic per-(cell, candidate) sums of arbitrary pre-masked feature
+    planes — the Pallas twin of _CellIndex.segment_sum for consumers outside
+    the NASP update (plane-fit residual, counts)."""
+    pid = pl.program_id(0)
+    n = (2 * r) ** 2
+    lab = lab_ref[...]
+    feats = [feats_ref[f] for f in range(nfeat)]
+    fold = fold_ref[...]
+
+    def body(j, carry):
+        dy = j // (2 * r) - r
+        dx = j % (2 * r) - r
+        base = exp_ref[pl.ds(pid + dy + r, 1)][0]  # [1, wp]
+        idm = pltpu.roll(base, ((-dx) * bs_x) % wp, axis=1)
+        mm = (lab == idm[0:1]).astype(jnp.float32)
+        s = jnp.concatenate(
+            [jnp.sum(f * mm, axis=0, keepdims=True) for f in feats]
+        )
+        o = jax.lax.dot(s, fold, preferred_element_type=jnp.float32)
+        out_ref[0, pl.ds(j * nfeat, nfeat), :] = o
+        return carry
+
+    _sweep(n, body, 0, unrolled)
+
+
+def label_cell_sums(
+    labels: jnp.ndarray,  # [H, W] i32 cell-local labels
+    feats: jnp.ndarray,   # [H, W, F] f32, already masked (invalid rows 0)
+    *,
+    rows: int,
+    cols: int,
+    r: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-(cell, candidate) sums [rows*cols*n, F] of `feats` grouped by the
+    cell-local labels; candidate order == slic._CellIndex.cand.  The caller
+    folds to [K, F] with the candidate one-hot exactly like the XLA route."""
+    h, w = labels.shape
+    bs_y, bs_x = h // rows, w // cols
+    n = (2 * r) ** 2
+    nfeat = feats.shape[-1]
+    wp = -(-(w + 2 * r * bs_x) // 128) * 128
+    colsp = -(-cols // 128) * 128
+
+    ids = jnp.arange(rows * cols, dtype=jnp.float32).reshape(rows, cols, 1)
+    pad_row = jnp.full((r, cols, 1), SENTINEL_ID, jnp.float32)
+    exp = jnp.concatenate([pad_row, ids, pad_row], axis=0)
+    exp = jnp.repeat(exp, bs_x, axis=1)
+    exp = jnp.pad(exp, ((0, 0), (0, wp - w), (0, 0)), constant_values=SENTINEL_ID)
+    exp = jnp.moveaxis(exp, -1, 1)  # [rows+2r, 1, wp]
+
+    fplanes = jnp.pad(
+        jnp.moveaxis(feats.astype(jnp.float32), -1, 0),
+        ((0, 0), (0, 0), (0, wp - w)),
+    )
+    lab = jnp.pad(
+        labels.astype(jnp.float32), ((0, 0), (0, wp - w)), constant_values=-1.0
+    )
+    lane_cell = jnp.arange(wp) // bs_x
+    fold = (
+        (lane_cell[:, None] == jnp.arange(colsp)[None, :])
+        & (jnp.arange(wp) < w)[:, None]
+    ).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _label_sums_kernel,
+        rows=rows,
+        r=r,
+        bs_x=bs_x,
+        bs_y=bs_y,
+        wp=wp,
+        colsp=colsp,
+        nfeat=nfeat,
+        unrolled=not interpret,
+    )
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except AttributeError:  # older JAX spelling
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows,),
+        compiler_params=compiler_params,
+        in_specs=[
+            pl.BlockSpec(
+                (nfeat, bs_y, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bs_y, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(exp.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fold.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n * nfeat, colsp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n * nfeat, colsp), jnp.float32),
+        interpret=interpret,
+    )(fplanes, lab, exp, fold)
+
+    out = out.reshape(rows, n, nfeat, colsp)[..., :cols]
+    return jnp.transpose(out, (0, 3, 1, 2)).reshape(-1, nfeat)
+
+
 INIT_DISTANCE = 999999.9  # slic.INIT_DISTANCE (not-in-grid candidate cost)
 
 

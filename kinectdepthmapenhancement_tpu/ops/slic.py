@@ -188,7 +188,16 @@ class _CellIndex:
     [rows, cols, P, n] with explicit transposes is the fast layout here.)
     """
 
-    def __init__(self, labels: jnp.ndarray, grid: GridParams, r: int, h: int, w: int):
+    def __init__(
+        self,
+        labels: jnp.ndarray,
+        grid: GridParams,
+        r: int,
+        h: int,
+        w: int,
+        *,
+        kernel_sums: Optional[bool] = None,
+    ):
         rows, cols = grid.rows, grid.cols
         self.rows, self.cols = rows, cols
         self.k = grid.num_clusters
@@ -205,6 +214,15 @@ class _CellIndex:
         self.oh_k = (
             tables.one_hot(self.cand_flat, self.k) if tables.use_mxu() else None
         )
+        if kernel_sums is None:
+            from kinectdepthmapenhancement_tpu.ops import pallas_nasp
+
+            kernel_sums = pallas_nasp.available()
+        # segment sums through the Pallas label-sums kernel (pixel-level
+        # one-hot matmul + feats transpose avoided); disabled under GSPMD
+        # spatial sharding (parallel/sharding.py::disable_pallas -> callers
+        # pass stats_impl="xla" through cell_index/_CellIndex)
+        self.kernel_sums = kernel_sums
 
     def _to_cells(self, x: jnp.ndarray) -> jnp.ndarray:
         """[H, W, F] -> [rows, cols, P, F]  (P = cell pixel count)."""
@@ -254,6 +272,20 @@ class _CellIndex:
         return self._from_cells(out)
 
     def segment_sum(self, feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        if self.kernel_sums:
+            from kinectdepthmapenhancement_tpu.ops import pallas_nasp
+
+            part_flat = pallas_nasp.label_cell_sums(
+                self.labels,
+                (feats * mask[..., None]).astype(jnp.float32),
+                rows=self.rows,
+                cols=self.cols,
+                r=self.r,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return tables.segment_sum(
+                part_flat, self.cand_flat, self.k, onehot=self.oh_k
+            )
         fb = self._to_cells(
             (feats * mask[..., None]).astype(jnp.float32)
         )
@@ -327,14 +359,22 @@ def _cell_ok(grid: GridParams, h: int, w: int) -> bool:
 
 
 def cell_index(
-    labels: jnp.ndarray, grid: GridParams, neighborhood: int
+    labels: jnp.ndarray,
+    grid: GridParams,
+    neighborhood: int,
+    stats_impl: str = "auto",
 ) -> Optional[_CellIndex]:
     """Public constructor for downstream ops (CCL) that consume single-
-    iteration SLIC labels; returns None when the cell path doesn't apply."""
+    iteration SLIC labels; returns None when the cell path doesn't apply.
+    stats_impl governs whether segment sums route through the Pallas
+    label-sums kernel ("auto": on TPU) — sharded pipelines pass "xla"."""
     h, w = labels.shape
     if not (_use_cell() and _cell_ok(grid, h, w)):
         return None
-    return _CellIndex(labels, grid, neighborhood // 2, h, w)
+    kernel_sums = None if stats_impl == "auto" else stats_impl == "pallas"
+    return _CellIndex(
+        labels, grid, neighborhood // 2, h, w, kernel_sums=kernel_sums
+    )
 
 
 # ----------------------------------------------------------------- seeding
@@ -1270,7 +1310,13 @@ def segment(
         # cluster updates; after the first sweep labels come from the cell's
         # candidate set, so the index is cell-local there
         if first and cell_fast:
-            idx = _CellIndex(labels, grid, neighborhood // 2, h, w)
+            ks = (
+                None if params.stats_impl == "auto"
+                else params.stats_impl == "pallas"
+            )
+            idx = _CellIndex(
+                labels, grid, neighborhood // 2, h, w, kernel_sums=ks
+            )
         else:
             idx = _GlobalIndex(labels, grid.num_clusters)
         if variant == "sp":

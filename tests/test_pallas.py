@@ -311,3 +311,31 @@ def test_nasp_fused_assign_analyze_matches_xla():
             atol=2e-3,
             err_msg=name,
         )
+
+
+def test_label_cell_sums_kernel_matches_matmul_route():
+    """ops/pallas_nasp.py::label_cell_sums (interpret) == the cell-space
+    one-hot matmul segment_sum, through _CellIndex with kernel_sums toggled."""
+    from kinectdepthmapenhancement_tpu.ops import slic
+
+    grid, labels, color_f, points, normals = _nasp_state(seed=11)
+    h, w = labels.shape
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(h, w, 2)).astype(np.float32)
+    mask = rng.random((h, w)) < 0.8
+
+    slic.tables.force_mode("mxu")
+    try:
+        idx_x = slic._CellIndex(
+            jnp.asarray(labels), grid, 4, h, w, kernel_sums=False
+        )
+        idx_k = slic._CellIndex(
+            jnp.asarray(labels), grid, 4, h, w, kernel_sums=True
+        )
+        want = idx_x.segment_sum(jnp.asarray(feats), jnp.asarray(mask))
+        got = idx_k.segment_sum(jnp.asarray(feats), jnp.asarray(mask))
+    finally:
+        slic.tables.force_mode(None)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-3
+    )
