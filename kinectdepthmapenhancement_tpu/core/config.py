@@ -128,6 +128,10 @@ class NormalParams:
     # <= normal_smoothing_size + z/10, so distances beyond ~24 px never matter;
     # dt_iterations sweeps of 1-step relaxation cover a radius of dt_iterations.
     dt_iterations: int = 26
+    # chamfer-DT backend: "auto" runs all iterations in one VMEM-resident
+    # Pallas launch on TPU (ops/pallas_dt.py, bitwise-equal — min-plus is
+    # exact and order-insensitive in f32); same sharding rule as cov_impl.
+    dt_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -109,7 +109,17 @@ def distance_transform(dci: jnp.ndarray, iterations: int) -> jnp.ndarray:
 def smoothing_map(vertices_m: jnp.ndarray, p: NormalParams) -> jnp.ndarray:
     """Final smoothing-area map = min(DT, size + z/10)  [pixels]."""
     dci = dci_map(vertices_m, p.max_depth_change_factor)
-    dt = distance_transform(dci, p.dt_iterations)
+    dt_impl = getattr(p, "dt_impl", "auto")
+    if dt_impl == "auto":
+        dt_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if dt_impl == "pallas":
+        from kinectdepthmapenhancement_tpu.ops import pallas_dt
+
+        dt = pallas_dt.distance_transform(
+            dci, p.dt_iterations, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        dt = distance_transform(dci, p.dt_iterations)
     ddsa = p.normal_smoothing_size + vertices_m[..., 2] / 10.0
     return jnp.minimum(dt, ddsa)
 

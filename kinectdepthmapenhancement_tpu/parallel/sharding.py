@@ -39,7 +39,7 @@ def disable_pallas(cfg: KDEConfig) -> KDEConfig:
     one.  The XLA paths are ordinary jnp programs GSPMD partitions fine."""
     return dataclasses.replace(
         cfg,
-        normals=dataclasses.replace(cfg.normals, cov_impl="xla"),
+        normals=dataclasses.replace(cfg.normals, cov_impl="xla", dt_impl="xla"),
         nasp=dataclasses.replace(cfg.nasp, grad_impl="xla", stats_impl="xla"),
     )
 

@@ -339,3 +339,23 @@ def test_label_cell_sums_kernel_matches_matmul_route():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-3
     )
+
+
+def test_dt_pallas_matches_xla():
+    """ops/pallas_dt.py (interpret) == the XLA min-plus relaxation, bitwise
+    (min and + are exact in f32 and min is order-insensitive)."""
+    from kinectdepthmapenhancement_tpu.ops import normals as nm
+    from kinectdepthmapenhancement_tpu.ops import pallas_dt
+
+    rng = np.random.default_rng(6)
+    h, w = 60, 130  # non-multiple of 128: exercises the lane pad masks
+    dci = np.where(rng.random((h, w)) < 0.03, 0, 255).astype(np.int32)
+    dci[0, -1] = 0  # corner sources exercise the border masks
+    dci[-1, 0] = 0
+    want = np.asarray(
+        jax.jit(lambda d: nm.distance_transform(d, 26))(jnp.asarray(dci))
+    )
+    got = np.asarray(
+        pallas_dt.distance_transform(jnp.asarray(dci), 26, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
