@@ -156,7 +156,8 @@ def test_sharded_kde_spatial_forces_pallas_off():
         nasp=dataclasses.replace(cfg.nasp, grad_impl="pallas"),
     )
     off = disable_pallas(forced)
-    assert off.normals.cov_impl == "xla" and off.nasp.grad_impl == "xla"
+    assert off.normals.cov_impl == "xla" and off.normals.dt_impl == "xla"
+    assert off.nasp.grad_impl == "xla" and off.nasp.stats_impl == "xla"
 
     mesh = make_mesh(8, spatial=2)
     h, w = 96, 128
