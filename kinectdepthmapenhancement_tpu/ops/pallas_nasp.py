@@ -298,6 +298,102 @@ def label_cell_sums(
     return jnp.transpose(out, (0, 3, 1, 2)).reshape(-1, nfeat)
 
 
+def _label_gather_kernel(
+    lab_ref,     # [bs_y, wp] f32 labels (-1 invalid; pad lanes -1)
+    exp_ref,     # [rows + 2r, 1 + F, wp] f32: id + table field maps
+    out_ref,     # [F, bs_y, wp] f32
+    *,
+    rows: int,
+    r: int,
+    bs_x: int,
+    bs_y: int,
+    wp: int,
+    nfeat: int,
+    unrolled: bool,
+):
+    """table[labels] for cell-local labels — the Pallas twin of
+    _CellIndex.gather (a 64-way select over expanded candidate maps; exact:
+    values are copied, never combined; 0 where no candidate matches)."""
+    pid = pl.program_id(0)
+    n = (2 * r) ** 2
+    lab = lab_ref[...]
+
+    def body(j, sel):
+        dy = j // (2 * r) - r
+        dx = j % (2 * r) - r
+        base = exp_ref[pl.ds(pid + dy + r, 1)][0]  # [1+F, wp]
+        maps = pltpu.roll(base, ((-dx) * bs_x) % wp, axis=1)
+        m = lab == maps[0:1]
+        return tuple(
+            jnp.where(m, maps[f + 1 : f + 2], sel[f]) for f in range(nfeat)
+        )
+
+    sel = _sweep(
+        n, body,
+        tuple(jnp.zeros((bs_y, wp), jnp.float32) for _ in range(nfeat)),
+        unrolled,
+    )
+    for f in range(nfeat):
+        out_ref[f] = sel[f]
+
+
+def label_cell_gather(
+    labels: jnp.ndarray,  # [H, W] i32 cell-local labels
+    table: jnp.ndarray,   # [K, F] f32
+    *,
+    rows: int,
+    cols: int,
+    r: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[H, W, F] = table[labels] (0 for labels outside the candidate set)."""
+    h, w = labels.shape
+    bs_y, bs_x = h // rows, w // cols
+    nfeat = table.shape[-1]
+    wp = -(-(w + 2 * r * bs_x) // 128) * 128
+
+    ids = jnp.arange(rows * cols, dtype=jnp.float32).reshape(rows, cols, 1)
+    exp = jnp.concatenate(
+        [ids, table.astype(jnp.float32).reshape(rows, cols, nfeat)], axis=-1
+    )
+    pad_row = jnp.zeros((r, cols, 1 + nfeat), jnp.float32).at[..., 0].set(
+        SENTINEL_ID
+    )
+    exp = jnp.concatenate([pad_row, exp, pad_row], axis=0)
+    exp = jnp.repeat(exp, bs_x, axis=1)
+    exp = jnp.pad(exp, ((0, 0), (0, wp - w), (0, 0)))
+    exp = exp.at[:, w:, 0].set(SENTINEL_ID)
+    exp = jnp.moveaxis(exp, -1, 1)  # [rows+2r, 1+F, wp]
+
+    lab = jnp.pad(
+        labels.astype(jnp.float32), ((0, 0), (0, wp - w)), constant_values=-1.0
+    )
+    kernel = functools.partial(
+        _label_gather_kernel,
+        rows=rows,
+        r=r,
+        bs_x=bs_x,
+        bs_y=bs_y,
+        wp=wp,
+        nfeat=nfeat,
+        unrolled=not interpret,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows,),
+        in_specs=[
+            pl.BlockSpec((bs_y, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(exp.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nfeat, bs_y, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nfeat, h, wp), jnp.float32),
+        interpret=interpret,
+    )(lab, exp)
+    return jnp.moveaxis(out[:, :, :w], 0, -1)
+
+
 INIT_DISTANCE = 999999.9  # slic.INIT_DISTANCE (not-in-grid candidate cost)
 
 

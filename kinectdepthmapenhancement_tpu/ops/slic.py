@@ -260,6 +260,17 @@ class _CellIndex:
         return g.reshape(self.rows, self.cols, self.n, table.shape[-1])
 
     def gather(self, table: jnp.ndarray) -> jnp.ndarray:
+        if self.kernel_sums:
+            from kinectdepthmapenhancement_tpu.ops import pallas_nasp
+
+            return pallas_nasp.label_cell_gather(
+                self.labels,
+                table.astype(jnp.float32),
+                rows=self.rows,
+                cols=self.cols,
+                r=self.r,
+                interpret=jax.default_backend() != "tpu",
+            )
         ct = self._cand_table(table)
         out = None
         for part in tables.split3(ct):

@@ -359,3 +359,28 @@ def test_dt_pallas_matches_xla():
         pallas_dt.distance_transform(jnp.asarray(dci), 26, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_label_cell_gather_kernel_matches_matmul_route():
+    """ops/pallas_nasp.py::label_cell_gather (interpret) == the cell-space
+    matmul gather, exactly (both are pure selections)."""
+    from kinectdepthmapenhancement_tpu.ops import slic
+
+    grid, labels, color_f, points, normals = _nasp_state(seed=13)
+    h, w = labels.shape
+    rng = np.random.default_rng(5)
+    table = rng.normal(size=(grid.num_clusters, 5)).astype(np.float32)
+
+    slic.tables.force_mode("mxu")
+    try:
+        idx_x = slic._CellIndex(
+            jnp.asarray(labels), grid, 4, h, w, kernel_sums=False
+        )
+        idx_k = slic._CellIndex(
+            jnp.asarray(labels), grid, 4, h, w, kernel_sums=True
+        )
+        want = idx_x.gather(jnp.asarray(table))
+        got = idx_k.gather(jnp.asarray(table))
+    finally:
+        slic.tables.force_mode(None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
