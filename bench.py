@@ -2,8 +2,10 @@
 
 Measures the flagship KDE ("PROPOSED") pipeline end-to-end at the reference's
 native 640x480 on the available accelerator.  The reference publishes no
-numbers (BASELINE.md); `vs_baseline` is fps relative to the Kinect v1 sensor
-ceiling of 30 fps — the only rate the reference workload is defined against.
+numbers (BASELINE.md); `vs_baseline` is fps relative to the BASELINE.md
+north-star chip rate of 125 fps/chip (2000 fps aggregate on a v5e-16,
+pro-rata per chip).  The 30 fps Kinect-v1 sensor ceiling is reported
+separately as `x_kinect_sensor_ceiling_30fps`.
 
 Headline value = steady-state device throughput, measured by chaining K
 data-dependent pipeline iterations inside ONE executable and differencing
@@ -64,10 +66,11 @@ def main() -> None:
         )
         return batch / stats["median_s"]
 
-    # default sweep stays cheap (one extra vmap compile); pass --sweep for
-    # the full 1/4/16 curve (recorded in PERF.md — each width is a separate
-    # multi-minute XLA compile through the remote tunnel)
-    widths = (1, 4, 16) if "--sweep" in sys.argv else (4,)
+    # the serving curve {1, 4, 16, 32} ships in the default JSON (VERDICT r4
+    # #4); each width is a separate XLA compile through the remote tunnel,
+    # amortised by the persistent compile cache.  --quick keeps the old
+    # single-width behaviour for ad-hoc runs.
+    widths = (4,) if "--quick" in sys.argv else (1, 4, 16, 32)
     batch_sweep = {b: round(batched_fps(b), 2) for b in widths}
     fps = batch_sweep[4]
 
@@ -148,12 +151,14 @@ def main() -> None:
                 "metric": "kde_pipeline_fps_640x480",
                 "value": round(device_fps, 2),
                 "unit": "frames/s",
-                # vs_baseline: fps / the 30 fps Kinect v1 sensor ceiling (the
-                # only rate the reference workload is defined against);
-                # vs_chip_target: fps / the pro-rata north-star rate of
+                # vs_baseline: fps / the pro-rata north-star rate of
                 # 125 fps/chip (2000 fps aggregate on a v5e-16, BASELINE.md)
-                "vs_baseline": round(device_fps / 30.0, 2),
+                # — the honest comparator (the old fps/30-sensor-ceiling
+                # ratio is retired per VERDICT r4; the sensor ceiling is
+                # reported under its own name below)
+                "vs_baseline": round(device_fps / 125.0, 4),
                 "vs_chip_target": round(device_fps / 125.0, 4),
+                "x_kinect_sensor_ceiling_30fps": round(device_fps / 30.0, 2),
                 "device_frame_ms": round(per_frame * 1e3, 3),
                 "dispatch_inclusive_fps_batch4": round(fps, 2),
                 "dispatch_inclusive_fps_by_batch": batch_sweep,

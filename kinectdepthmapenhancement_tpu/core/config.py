@@ -62,6 +62,15 @@ class SLICParams:
     # TPU for single-iteration cell-local segmentations, the one-hot-matmul
     # XLA route elsewhere.  Same sharding rule as grad_impl.
     stats_impl: str = "auto"
+    # Later-iteration (2+) label-index route.  "auto": run the capped
+    # cell-space fast path guarded by a runtime locality check with an exact
+    # lax.cond fallback to the global [H*W, K]-one-hot route (identical
+    # results always); "cell": capped path unconditionally (for vmapped
+    # serving, where a batched cond would execute both branches — exact
+    # whenever labels stay within the [-(r+1), r]^2 cell neighbourhood,
+    # which the per-iteration update window enforces in practice); "global":
+    # the unconditional reference-shaped route.  See ops/slic.py::segment.
+    locality: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -191,6 +191,40 @@ def kde_pipeline(
     )
 
 
+_LOCAL_CAP = 4  # cell-locality cap for ERS-refined labels (runtime-checked)
+
+
+def _with_local_index(fn, labels, grid, *, stats_impl="auto", locality="auto"):
+    """Run fn(index) with a cell-local label index over `labels` when the
+    [-cap, cap-1]^2 locality invariant holds, falling back to fn(None) (the
+    global [H*W, K]-one-hot route) via lax.cond otherwise — exact either way.
+
+    ERS-refined labels inherit the SLIC labels' cell locality (the edge
+    refinement only swaps labels within a 7 px window), so the cell route
+    runs in practice; the runtime check guards the worst case.  locality
+    mirrors SLICParams.locality: "cell" skips the check (vmapped serving —
+    a batched cond executes both branches), "global" disables the index.
+    """
+    h, w = labels.shape
+    idx = (
+        slic.cell_index(
+            labels, grid, neighborhood=2 * _LOCAL_CAP, stats_impl=stats_impl
+        )
+        if locality != "global"
+        else None
+    )
+    if idx is None:
+        return fn(None)
+    if locality == "cell":
+        return fn(idx)
+    return jax.lax.cond(
+        slic.labels_within_cap(labels, grid, _LOCAL_CAP, h, w),
+        lambda _: fn(idx),
+        lambda _: fn(None),
+        None,
+    )
+
+
 def spdsp_pipeline(
     depth: jnp.ndarray,
     points: jnp.ndarray,
@@ -209,10 +243,7 @@ def spdsp_pipeline(
     dasp = slic.segment(color, points, grid=cfg.grid, params=cfg.depth_slic, variant="dasp")
     refined = ers.edge_refined_superpixel(sp.labels, dasp.labels, depth, color, cfg.ers)
     rpoints = projective_to_real(refined.depth, intr)
-    planes = plane.pca_planes(rpoints, refined.labels, k)
-    plane_fitted = plane.set_pseudo_depth_cluster(
-        rpoints, rays, planes.nd, refined.labels, strict=False
-    )
+
     # plane-confidence gate (spec extension; see SPDSPConfig): trust a
     # cluster's plane only when its PCA fit thickness sqrt(lambda_min) is
     # below max_plane_residual of the cluster centroid depth.  Normalising by
@@ -220,16 +251,30 @@ def spdsp_pipeline(
     # would disable the gate exactly where planes graze the view direction).
     # inf disables the gate STATICALLY — exact reference behaviour
     # (Projection_GPU.cu:274-294 has no gate), tested end to end.
-    if math.isinf(cfg.max_plane_residual):
-        plane_ok = None
-    else:
+    def fit_and_project(index):
+        planes = plane.pca_planes(rpoints, refined.labels, k, index=index)
+        plane_fitted = plane.set_pseudo_depth_cluster(
+            rpoints, rays, planes.nd, refined.labels, strict=False, index=index
+        )
+        if math.isinf(cfg.max_plane_residual):
+            return planes, plane_fitted, ()
         resid_rel = jnp.sqrt(
             jnp.maximum(planes.eigenvalues, 0.0)
         ) / jnp.maximum(jnp.abs(planes.centers[:, 2]), 1.0)
-        plane_ok = tables.gather(
-            (resid_rel < cfg.max_plane_residual).astype(jnp.float32),
-            refined.labels,
-        ) > 0.0
+        okf = (resid_rel < cfg.max_plane_residual).astype(jnp.float32)
+        ok_map = (
+            index.gather(okf[:, None])[..., 0]
+            if index is not None
+            else tables.gather(okf, refined.labels)
+        )
+        return planes, plane_fitted, (ok_map > 0.0,)
+
+    planes, plane_fitted, gate = _with_local_index(
+        fit_and_project, refined.labels, cfg.grid,
+        stats_impl=cfg.depth_slic.stats_impl,
+        locality=cfg.depth_slic.locality,
+    )
+    plane_ok = gate[0] if gate else None
     optimized = plane.mrf_optimization(
         rpoints, plane_fitted, rays, cfg.projection, gate_mask=plane_ok
     )
@@ -261,12 +306,22 @@ def tof_pipeline(
     dasp = slic.segment(color, points, grid=cfg.grid, params=cfg.depth_slic, variant="dasp")
     refined = ers.edge_refined_superpixel(sp.labels, dasp.labels, depth, color, cfg.ers)
     rpoints = projective_to_real(refined.depth, intr)
-    planes = plane.pca_planes(rpoints, refined.labels, k)
-    merged = ccl.merge_pca(
-        refined.labels, planes.nd, planes.centers, planes.eigenvalues, cfg.ccl_pca
-    )
-    plane_fitted = plane.set_pseudo_depth_cluster(
-        rpoints, rays, planes.nd, refined.labels, strict=True
+
+    def fit_merge_project(index):
+        planes = plane.pca_planes(rpoints, refined.labels, k, index=index)
+        merged = ccl.merge_pca(
+            refined.labels, planes.nd, planes.centers, planes.eigenvalues,
+            cfg.ccl_pca, index=index,
+        )
+        plane_fitted = plane.set_pseudo_depth_cluster(
+            rpoints, rays, planes.nd, refined.labels, strict=True, index=index
+        )
+        return planes, merged, plane_fitted
+
+    planes, merged, plane_fitted = _with_local_index(
+        fit_merge_project, refined.labels, cfg.grid,
+        stats_impl=cfg.depth_slic.stats_impl,
+        locality=cfg.depth_slic.locality,
     )
     return TOFResult(
         optimized_points=rpoints,

@@ -18,7 +18,7 @@ loop (main.cpp:86-116).  This runner generalises it for production use:
 from __future__ import annotations
 
 import functools
-from typing import Iterator, List, Optional
+from typing import Callable, Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,19 +32,31 @@ from kinectdepthmapenhancement_tpu.utils import checkpoint, metrics
 
 
 @functools.lru_cache(maxsize=16)
-def _chunk_step(intr: Intrinsics, cfg: KDEConfig):
+def _chunk_step(intr: Intrinsics, cfg: KDEConfig, kde_only: bool):
     """Jitted chunk executable, cached at module level so successive
     run_stream calls in one process reuse the trace + executable (a fresh
     jit wrapper per call cost a full retrace and, cold, a multi-minute
-    XLA compile of the combined program).  Colour is a traced argument."""
+    XLA compile of the combined program).  Colour is a traced argument.
 
-    @jax.jit
+    The DepthBuffer is DONATED: its storage is reused for the output buffer,
+    so the sequential buffer thread never allocates and chunk N+1's dispatch
+    can be enqueued while chunk N still computes (double-buffered serving).
+    """
+
+    donate = (0,) if jax.default_backend() == "tpu" else ()  # CPU: no aliasing
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def step(buf: buffer2d.DepthBuffer, depths: jnp.ndarray, c: jnp.ndarray):
         """depths: [B, H, W].  KDE runs vmapped (frames are independent);
         the temporal buffer + metric fold is a scan in the same executable."""
         pts = jax.vmap(
             lambda d: kde_pipeline(d, c, intr, cfg).optimized_points
         )(depths)
+
+        if kde_only:
+            # serving mode: no pseudo-GT capture fold; the chunk result is
+            # consumed on device (checksum forces completion, ~8 B readback)
+            return buf, pts, jnp.sum(pts) * 1e-30, jnp.zeros((), jnp.int32)
 
         def body(b, xs):
             depth, p = xs
@@ -54,7 +66,7 @@ def _chunk_step(intr: Intrinsics, cfg: KDEConfig):
             return b, (err * n.astype(jnp.float32), n)
 
         buf, (errs, ns) = jax.lax.scan(body, buf, (depths, pts))
-        return buf, jnp.sum(errs), jnp.sum(ns)
+        return buf, pts, jnp.sum(errs), jnp.sum(ns)
 
     return step
 
@@ -69,12 +81,28 @@ def run_stream(
     checkpoint_every: int = 50,
     max_frames: Optional[int] = None,
     batch: int = 8,
+    kde_only: bool = False,
+    on_outputs: Optional[Callable[[int, jnp.ndarray], None]] = None,
 ) -> checkpoint.StreamState:
     """Process a depth-frame stream with a fixed colour image (file-replay
     style).  Returns the final StreamState with accumulated metrics.
 
     `batch` frames are processed per device dispatch; the stream's tail runs
     as one smaller chunk (one extra compile per distinct tail size).
+
+    Dispatch is PIPELINED one chunk deep: chunk N's two-scalar metric
+    readback is deferred until chunk N+1 has been staged and enqueued, so
+    the host's H2D upload + dispatch RPC of the next chunk overlaps the
+    device compute of the current one (the synchronous readback-per-chunk
+    form left the device idle for a full tunnel round trip between chunks).
+
+    kde_only=True skips the temporal-buffer capture fold and the pseudo-GT
+    metric — the pure serving path; accumulates a "kde_checksum" metric
+    (device-consumed result, ~8 B readback per chunk) instead.
+
+    on_outputs, when given, receives (start_frame_index, pts) per chunk with
+    pts the [B, H, W, 3] refined points still ON DEVICE — fetch or chain as
+    needed (fetching costs a D2H of ~29 MB/chunk through the tunnel).
     """
     h, w = color.shape[:2]
     state = checkpoint.load(checkpoint_path) if checkpoint_path else None
@@ -85,21 +113,35 @@ def run_stream(
             metric_sums={"kde_error_mm": 0.0},
             metric_counts={"kde_error_mm": 0},
         )
+    metric = "kde_checksum" if kde_only else "kde_error_mm"
+    state.metric_sums.setdefault(metric, 0.0)
+    state.metric_counts.setdefault(metric, 0)
 
     c = jnp.asarray(color)
-    chunk_step = _chunk_step(intr, cfg)
+    chunk_step = _chunk_step(intr, cfg, kde_only)
 
-    def flush(chunk: List[np.ndarray]) -> None:
+    inflight: List[tuple] = []  # <=1 dispatched chunk awaiting readback
+
+    def dispatch(chunk: List[np.ndarray]) -> None:
         if not chunk:
             return
-        depths = jnp.asarray(np.stack(chunk))
-        buf, err_sum, n_sum = chunk_step(state.buffer, depths, c)
-        state.buffer = buf
-        # ONE host readback per chunk (two scalars), not per frame
-        state.metric_sums["kde_error_mm"] += float(err_sum)
-        state.metric_counts["kde_error_mm"] += int(n_sum)
-        state.frame_index += len(chunk)
+        depths = jnp.asarray(np.stack(chunk))  # async H2D
+        start = state.frame_index + sum(e[2] for e in inflight)
+        buf, pts, err_sum, n_sum = chunk_step(state.buffer, depths, c)
+        state.buffer = buf  # device future; the buffer thread stays on device
+        if on_outputs is not None:
+            on_outputs(start, pts)
+        inflight.append((err_sum, n_sum, len(chunk)))
         chunk.clear()
+
+    def drain() -> None:
+        """Account the oldest in-flight chunk (blocks until it is done)."""
+        if not inflight:
+            return
+        err_sum, n_sum, k = inflight.pop(0)
+        state.metric_sums[metric] += float(err_sum)
+        state.metric_counts[metric] += int(n_sum) if not kde_only else k
+        state.frame_index += k
 
     pending: List[np.ndarray] = []
     last_ckpt = state.frame_index
@@ -110,14 +152,18 @@ def run_stream(
             break
         pending.append(np.asarray(frame))
         if len(pending) == batch:
-            flush(pending)
-            if (
-                checkpoint_path
-                and state.frame_index - last_ckpt >= checkpoint_every
-            ):
+            dispatch(pending)
+            while len(inflight) > 1:  # keep exactly one chunk in flight
+                drain()
+            dispatched = state.frame_index + sum(e[2] for e in inflight)
+            if checkpoint_path and dispatched - last_ckpt >= checkpoint_every:
+                while inflight:  # frame_index must match the saved buffer
+                    drain()
                 checkpoint.save(checkpoint_path, state)
                 last_ckpt = state.frame_index
-    flush(pending)
+    dispatch(pending)
+    while inflight:
+        drain()
 
     if checkpoint_path:
         checkpoint.save(checkpoint_path, state)

@@ -229,6 +229,7 @@ def merge_pca(
     cluster_centers: jnp.ndarray,  # [K, 3]
     eigenvalues: jnp.ndarray,      # [K]
     p: CCLPCAParams = CCLPCAParams(),
+    index=None,
 ) -> MergeResult:
     """LabelEquivalenceSegPCA::labelImage (LabelEquivalenceSegPCA.cu:219-299).
 
@@ -241,4 +242,7 @@ def merge_pca(
     def predicate(dot, dd):
         return (dot <= 1.0) & (dot > cos_max) & (dd < p.plane_offset_max)
 
-    return _merge(labels, cluster_nd, valid, cluster_centers, predicate, eigenvalues)
+    return _merge(
+        labels, cluster_nd, valid, cluster_centers, predicate, eigenvalues,
+        index=index,
+    )

@@ -86,11 +86,18 @@ def set_pseudo_depth_cluster(
     labels: jnp.ndarray,
     *,
     strict: bool = False,
+    index=None,
 ) -> jnp.ndarray:
     """Per-cluster nd table (second overload, Projection_GPU.cu:50-77; SPDSP):
     project where label > -1 and |nd.x| < 1 (invalid sentinel 5.0).
-    strict=True uses <= 1.0 (the PCA variant, Projection_PCA.cu:20-48)."""
-    nd = tables.gather(cluster_nd, labels)
+    strict=True uses <= 1.0 (the PCA variant, Projection_PCA.cu:20-48).
+
+    index: optional cell-local label index over `labels` (slic.cell_index;
+    gathers 0 for label -1, exactly like the one-hot route — the `labels >
+    -1` gate masks those pixels either way)."""
+    nd = index.gather(cluster_nd) if index is not None else tables.gather(
+        cluster_nd, labels
+    )
     ok = jnp.abs(nd[..., 0]) <= 1.0 if strict else jnp.abs(nd[..., 0]) < 1.0
     gate = (labels > -1) & ok
     proj = _project(nd, rays)
@@ -328,7 +335,9 @@ class PCAPlanes(NamedTuple):
     count: jnp.ndarray        # [K] i32 point count
 
 
-def pca_planes(points: jnp.ndarray, labels: jnp.ndarray, k: int) -> PCAPlanes:
+def pca_planes(
+    points: jnp.ndarray, labels: jnp.ndarray, k: int, *, index=None
+) -> PCAPlanes:
     """Per-cluster plane fit on device (replaces the host loop + cv::PCA of
     SPDepthSuperResolution.cpp:66-142 / TOFDepthInterpolation.cpp:69-146).
 
@@ -340,24 +349,45 @@ def pca_planes(points: jnp.ndarray, labels: jnp.ndarray, k: int) -> PCAPlanes:
     Covariance is computed from centred second moments: two segment-sum
     passes (sums, then squared residuals about the cluster mean) keep f32
     precision where the reference needed f64.
+
+    index: optional cell-local label index over `labels` (slic.cell_index) —
+    routes both segment-sum passes and the mean gather through the cell-
+    local one-hot instead of a [H*W, K] one (same sums up to f32 order).
     """
-    hw = points.shape[0] * points.shape[1]
+    h, w = points.shape[:2]
+    hw = h * w
     flat_pts = points.reshape(-1, 3)
     flat_lab = labels.reshape(-1)
-    onehot = tables.one_hot(flat_lab, k) if tables.use_mxu() else None
+    if index is not None:
+        mask = labels >= 0
+        ones = jnp.ones((h, w, 1), jnp.float32)
+        sums = index.segment_sum(
+            jnp.concatenate([points, ones], axis=-1), mask
+        )
+        count = sums[:, 3]
+        mean = sums[:, 0:3] / jnp.maximum(count, 1.0)[:, None]
+        centered = points - index.gather(mean)
+        centered = jnp.where(mask[..., None], centered, 0.0)
+        cx, cy, cz = centered[..., 0], centered[..., 1], centered[..., 2]
+        sq = jnp.stack(
+            [cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], axis=-1
+        )
+        m = index.segment_sum(sq, mask)
+    else:
+        onehot = tables.one_hot(flat_lab, k) if tables.use_mxu() else None
 
-    ones = jnp.ones((hw, 1), jnp.float32)
-    sums = tables.segment_sum(
-        jnp.concatenate([flat_pts, ones], axis=-1), flat_lab, k, onehot=onehot
-    )
-    count = sums[:, 3]
-    mean = sums[:, 0:3] / jnp.maximum(count, 1.0)[:, None]
+        ones = jnp.ones((hw, 1), jnp.float32)
+        sums = tables.segment_sum(
+            jnp.concatenate([flat_pts, ones], axis=-1), flat_lab, k, onehot=onehot
+        )
+        count = sums[:, 3]
+        mean = sums[:, 0:3] / jnp.maximum(count, 1.0)[:, None]
 
-    centered = flat_pts - tables.gather(mean, flat_lab, onehot=onehot)
-    centered = jnp.where((flat_lab >= 0)[:, None], centered, 0.0)
-    cx, cy, cz = centered[:, 0], centered[:, 1], centered[:, 2]
-    sq = jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], axis=-1)
-    m = tables.segment_sum(sq, flat_lab, k, onehot=onehot)
+        centered = flat_pts - tables.gather(mean, flat_lab, onehot=onehot)
+        centered = jnp.where((flat_lab >= 0)[:, None], centered, 0.0)
+        cx, cy, cz = centered[:, 0], centered[:, 1], centered[:, 2]
+        sq = jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], axis=-1)
+        m = tables.segment_sum(sq, flat_lab, k, onehot=onehot)
     n_safe = jnp.maximum(count, 1.0)
     # cv::PCA uses the scatter matrix scaled by 1/N (CV_COVAR_SCALE with rows)
     cov = jnp.stack(

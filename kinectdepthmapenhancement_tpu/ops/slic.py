@@ -369,6 +369,28 @@ def _cell_ok(grid: GridParams, h: int, w: int) -> bool:
     return h % grid.rows == 0 and w % grid.cols == 0
 
 
+def labels_within_cap(
+    labels: jnp.ndarray, grid: GridParams, cap: int, h: int, w: int
+) -> jnp.ndarray:
+    """Scalar bool: every label >= 0 lies in its pixel's [-cap, cap-1]^2
+    cell-grid neighbourhood — the capped-locality invariant that lets later
+    SLIC iterations (and downstream per-cluster gathers) run the cell-space
+    fast path.  Cheap (two integer maps + a reduction); used as the lax.cond
+    predicate guarding the exact global fallback."""
+    ws_x, ws_y = _grid_geometry(grid, h, w)
+    lab0 = jnp.maximum(labels, 0)
+    dyl = lab0 // grid.cols - (
+        jnp.arange(h, dtype=jnp.int32) // ws_y
+    )[:, None]
+    dxl = lab0 % grid.cols - (
+        jnp.arange(w, dtype=jnp.int32) // ws_x
+    )[None, :]
+    ok = (labels < 0) | (
+        (dyl >= -cap) & (dyl <= cap - 1) & (dxl >= -cap) & (dxl <= cap - 1)
+    )
+    return jnp.all(ok)
+
+
 def cell_index(
     labels: jnp.ndarray,
     grid: GridParams,
@@ -641,11 +663,26 @@ def _assign(
     neighborhood: int,
     s_scale: float,
     cell_fast: bool = False,
+    cell_capped: int = 0,
 ):
     """One label-assignment sweep (calculate_LD / calculateLD / calculateLD_NASP).
 
     cell_fast: labels are the grid init (first iteration) and the image
     divides evenly — candidate features broadcast per cell, zero gathers.
+
+    cell_capped=c (later iterations): labels are cell-LOCAL within the
+    pixel's [-c, c-1]^2 cell neighbourhood (caller-checked; see
+    labels_within_cap + the lax.cond fallback in segment()).  The reference
+    semantics — candidates are the (2r)^2 cells around the CURRENT label's
+    cell — are reproduced in band space by sweeping the ENLARGED offset set
+    [-c-r, c+r-2]^2 relative to the pixel's own cell and masking each
+    candidate o to pixels whose label-cell offset d satisfies
+    o - d in [-r, r-1]^2.  Offsets are swept in (dy, dx)-lexicographic
+    order, so o - d is visited in the reference's window order per pixel and
+    the strict-< running argmin keeps identical tie-breaks.  Pixels with
+    label -1 (only ever pixels with invalid depth, which the post-sweep
+    override re-marks -1) have no valid candidate and keep their current
+    (label, distance) — identical to the reference post-override.
     """
     h, w = labels.shape
     r = neighborhood // 2
@@ -692,14 +729,16 @@ def _assign(
     fields = jnp.concatenate(cols, axis=-1)
     nf = fields.shape[1]
 
-    if cell_fast:
-        # labels == grid init: a cell's pixels share the candidate cluster,
-        # so the distance computation runs in band space [rows, bs_y, W] (a
-        # bitcast reshape of [H, W] — full 640-lane vectorisation) with the
-        # candidate features pre-expanded to [rows, 1, W] maps.  Per offset
-        # that materialises only a tiny [rows, W, nf] map (~0.35 MB) instead
-        # of a full [H, W, nf] one (11 MB) — for NASP's 64 offsets this cuts
-        # the stage's HBM traffic ~30x (was the pipeline's largest cost).
+    if cell_fast or cell_capped:
+        # labels == grid init (cell_fast) or cell-local within the capped
+        # neighbourhood (cell_capped): a cell's pixels share the candidate
+        # cluster, so the distance computation runs in band space
+        # [rows, bs_y, W] (a bitcast reshape of [H, W] — full 640-lane
+        # vectorisation) with the candidate features pre-expanded to
+        # [rows, 1, W] maps.  Per offset that materialises only a tiny
+        # [rows, W, nf] map (~0.35 MB) instead of a full [H, W, nf] one
+        # (11 MB) — for NASP's 64 offsets this cuts the stage's HBM traffic
+        # ~30x (was the pipeline's largest cost).
         rows, cls = grid.rows, grid.cols
         bs_y, bs_x = h // rows, w // cls
 
@@ -720,16 +759,42 @@ def _assign(
         bd = jnp.full((rows, bs_y, w), jnp.inf, jnp.float32)
         bl = jnp.full((rows, bs_y, w), -1, jnp.int32)
 
-        gf = jnp.pad(fields.reshape(rows, cls, nf), ((r, r), (r, r), (0, 0)))
+        if cell_capped:
+            # sweep the enlarged offset set; per-pixel validity masks each
+            # candidate o to o - d in [-r, r-1]^2 with d the label's cell
+            # offset from the pixel's own cell
+            span = cell_capped + r
+            offs_band = [
+                (dy, dx)
+                for dy in range(-span, span - 1)
+                for dx in range(-span, span - 1)
+            ]
+            lab0_b = jnp.maximum(lab_b, 0)
+            dyl = lab0_b // grid.cols - jnp.arange(
+                rows, dtype=jnp.int32
+            ).reshape(rows, 1, 1)
+            dxl = lab0_b % grid.cols - (
+                jnp.arange(w, dtype=jnp.int32) // bs_x
+            ).reshape(1, 1, w)
+            lab_valid = lab_b >= 0
+        else:
+            span = r
+            offs_band = offs
+
+        gf = jnp.pad(
+            fields.reshape(rows, cls, nf), ((span, span), (span, span), (0, 0))
+        )
         cyg = jnp.arange(rows, dtype=jnp.int32)
         cxg = jnp.arange(cls, dtype=jnp.int32)
 
         def expand(cell_map):  # [rows, cols, F] -> [rows, 1, W, F]
             return jnp.repeat(cell_map, bs_x, axis=1)[:, None, :]
 
-        for dy, dx in offs:
+        for dy, dx in offs_band:
             cell = lax.slice(
-                gf, (r + dy, r + dx, 0), (r + dy + rows, r + dx + cls, nf)
+                gf,
+                (span + dy, span + dx, 0),
+                (span + dy + rows, span + dx + cls, nf),
             )
             cc = expand(cell)                   # [rows, 1, W, nf]
             ing_cell = (
@@ -739,6 +804,19 @@ def _assign(
             rid_cell = (cyg + dy)[:, None] * grid.cols + (cxg + dx)[None, :]
             ing = expand(ing_cell[..., None])[..., 0]
             rid = expand(rid_cell[..., None])[..., 0]
+            if cell_capped:
+                # this offset o is one of the pixel's (2r)^2 label-window
+                # offsets iff o - d in [-r, r-1]^2.  Non-window offsets are
+                # NO-OPS (win=False below); window offsets whose candidate
+                # cell is off-grid contribute the CURRENT (distance, label)
+                # exactly like the global route's in_grid else-branch.
+                win = (
+                    lab_valid
+                    & (dyl >= dy - (r - 1)) & (dyl <= dy + r)
+                    & (dxl >= dx - (r - 1)) & (dxl <= dx + r)
+                )
+            else:
+                win = None
             c_rgb = [cc[..., i] for i in range(3)]
             c_x, c_y = cc[..., 3], cc[..., 4]
             cd = (
@@ -779,6 +857,8 @@ def _assign(
             cand_d = jnp.where(ing, dist, dist_b)
             cand_l = jnp.where(ing, rid, lab_b)
             take = cand_d < bd
+            if win is not None:
+                take = take & win
             bd = jnp.where(take, cand_d, bd)
             bl = jnp.where(take, cand_l, bl)
 
@@ -1312,6 +1392,85 @@ def segment(
                 params, window_range, h, w,
             )
             return labels, distance, clusters
+        ks = (
+            None if params.stats_impl == "auto"
+            else params.stats_impl == "pallas"
+        )
+
+        def update_with(idx, labels, clusters):
+            if variant == "sp":
+                return _update_sp(
+                    idx, labels, clusters, color_f, grid, window_range, h, w
+                )
+            if variant == "dasp":
+                return _update_dasp(
+                    idx, labels, clusters, color_f, points, grid, window_range,
+                    h, w,
+                )
+            clusters = _update_nasp_analyze(
+                idx, labels, clusters, color_f, points, normals, grid, params,
+                window_range, h, w,
+            )
+            return _update_nasp_weighted(
+                idx, labels, clusters, color_f, points, normals, grid, params,
+                window_range, h, w,
+            )
+
+        # later iterations lose the first sweep's cell-locality GUARANTEE,
+        # but labels stay within a small cell neighbourhood in practice (the
+        # update window pins centres near their seed cells).  The capped
+        # cell route exploits that with EXACT semantics: a cheap runtime
+        # check of the [-cap, cap-1]^2 invariant guards each half of the
+        # iteration, falling back to the [H*W, K]-one-hot global route via
+        # lax.cond only if a label ever drifts farther (locality="auto").
+        # locality="cell" skips the checks (both branches are compiled under
+        # cond, and a vmapped cond executes both — serving configs that
+        # batch frames pick "cell"); "global" restores the old route.
+        capped = (not first) and cell_fast and params.locality != "global"
+        if capped:
+            cap = neighborhood // 2 + 1
+
+            def assign_cell(args):
+                labels, distance, clusters = args
+                return _assign(
+                    labels, distance, clusters, color_f, points, normals,
+                    grid, params, variant, neighborhood, s_scale,
+                    cell_capped=cap,
+                )
+
+            def assign_global(args):
+                labels, distance, clusters = args
+                return _assign(
+                    labels, distance, clusters, color_f, points, normals,
+                    grid, params, variant, neighborhood, s_scale,
+                )
+
+            args = (labels, distance, clusters)
+            if params.locality == "cell":
+                labels, distance = assign_cell(args)
+            else:
+                labels, distance = lax.cond(
+                    labels_within_cap(labels, grid, cap, h, w),
+                    assign_cell, assign_global, args,
+                )
+
+            def upd_cell(clusters):
+                idx = _CellIndex(labels, grid, cap, h, w, kernel_sums=ks)
+                return update_with(idx, labels, clusters)
+
+            def upd_global(clusters):
+                idx = _GlobalIndex(labels, grid.num_clusters)
+                return update_with(idx, labels, clusters)
+
+            if params.locality == "cell":
+                clusters = upd_cell(clusters)
+            else:
+                clusters = lax.cond(
+                    labels_within_cap(labels, grid, cap, h, w),
+                    upd_cell, upd_global, clusters,
+                )
+            return labels, distance, clusters
+
         labels, distance = _assign(
             labels, distance, clusters, color_f, points, normals,
             grid, params, variant, neighborhood, s_scale,
@@ -1321,30 +1480,12 @@ def segment(
         # cluster updates; after the first sweep labels come from the cell's
         # candidate set, so the index is cell-local there
         if first and cell_fast:
-            ks = (
-                None if params.stats_impl == "auto"
-                else params.stats_impl == "pallas"
-            )
             idx = _CellIndex(
                 labels, grid, neighborhood // 2, h, w, kernel_sums=ks
             )
         else:
             idx = _GlobalIndex(labels, grid.num_clusters)
-        if variant == "sp":
-            clusters = _update_sp(idx, labels, clusters, color_f, grid, window_range, h, w)
-        elif variant == "dasp":
-            clusters = _update_dasp(
-                idx, labels, clusters, color_f, points, grid, window_range, h, w
-            )
-        else:
-            clusters = _update_nasp_analyze(
-                idx, labels, clusters, color_f, points, normals, grid, params,
-                window_range, h, w,
-            )
-            clusters = _update_nasp_weighted(
-                idx, labels, clusters, color_f, points, normals, grid, params,
-                window_range, h, w,
-            )
+        clusters = update_with(idx, labels, clusters)
         return labels, distance, clusters
 
     # first iteration unrolled (it has the cell-local fast path); later

@@ -5,7 +5,11 @@ includes H2D uploads, the per-dispatch RPC floor of the remote tunnel, the
 temporal-buffer fold, and the per-chunk metric readback (vs the device-only
 rate of scripts/measure_kde.py).
 
-Usage: python scripts/stream_bench.py [--frames 200] [--batch 8]
+Usage: python scripts/stream_bench.py [--frames 200] [--batch 8] [--kde-only]
+
+--kde-only measures the pure serving path (no capture fold / pseudo-GT
+metric): every frame is enhanced and consumed on device, one ~8 B checksum
+readback per chunk.
 """
 
 import os
@@ -47,19 +51,28 @@ def main() -> None:
     # (executable, input) memo cannot fake results (PERF.md methodology)
     frames = [kinect_v1_sensor_model(gt, rng) for _ in range(n_frames)]
 
+    kde_only = "--kde-only" in sys.argv
+
     # warm-up chunk compiles outside the timed window
     streaming.run_stream(
-        iter(frames[: batch * 2]), color, intr, batch=batch
+        iter(frames[: batch * 2]), color, intr, batch=batch, kde_only=kde_only
     )
 
     t0 = time.perf_counter()
-    state = streaming.run_stream(iter(frames), color, intr, batch=batch)
+    state = streaming.run_stream(
+        iter(frames), color, intr, batch=batch, kde_only=kde_only
+    )
     dt = time.perf_counter() - t0
     fps = n_frames / dt
+    tag = "kde-only" if kde_only else "capture-protocol"
+    extra = (
+        ""
+        if kde_only
+        else f"; mean kde error {streaming.mean_metric(state, 'kde_error_mm'):.3f} mm"
+    )
     print(
         f"streamed {state.frame_index} frames in {dt:.2f}s "
-        f"(batch={batch}): {fps:.1f} fps sustained; "
-        f"mean kde error {streaming.mean_metric(state, 'kde_error_mm'):.3f} mm"
+        f"(batch={batch}, {tag}): {fps:.1f} fps sustained{extra}"
     )
 
 

@@ -157,6 +157,57 @@ def test_tof_full_res_plane_quality(full_scene):
     assert float(np.sqrt(np.mean((zf - gtn)[m] ** 2))) < 12.0
 
 
+def test_spdsp_tof_cell_route_matches_global():
+    """Round-5 capped-locality routes (5-iteration capped SLIC + cell-local
+    pca/merge/projection gathers with lax.cond fallback) vs the all-global
+    route: labels bitwise-equal, depths to f32 summation-order tolerance."""
+    from kinectdepthmapenhancement_tpu.ops import slic
+
+    intr, color, noisy, gt, grid = _scene()
+    pts = projective_to_real(noisy, intr)
+    scfg = dataclasses.replace(SPDSPConfig(), grid=grid)
+    tcfg = dataclasses.replace(TOFConfig(), grid=grid)
+    try:
+        slic.force_cell(False)
+        s_base = jax.jit(
+            lambda d, p, c: pipelines.spdsp_pipeline(d, p, c, intr, scfg)
+        )(noisy, pts, color)
+        t_base = jax.jit(
+            lambda d, p, c: pipelines.tof_pipeline(d, p, c, intr, tcfg)
+        )(noisy, pts, color)
+        slic.force_cell(True)
+        s_fast = jax.jit(
+            lambda d, p, c: pipelines.spdsp_pipeline(d, p, c, intr, scfg)
+        )(noisy, pts, color)
+        t_fast = jax.jit(
+            lambda d, p, c: pipelines.tof_pipeline(d, p, c, intr, tcfg)
+        )(noisy, pts, color)
+    finally:
+        slic.force_cell(None)
+
+    np.testing.assert_array_equal(
+        np.asarray(s_fast.refined_labels), np.asarray(s_base.refined_labels)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_fast.plane_fitted), np.asarray(s_base.plane_fitted),
+        rtol=1e-5, atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_fast.optimized_points),
+        np.asarray(s_base.optimized_points), rtol=1e-5, atol=0.05,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_fast.refined_labels), np.asarray(t_base.refined_labels)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_fast.merged_labels), np.asarray(t_base.merged_labels)
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_fast.plane_fitted), np.asarray(t_base.plane_fitted),
+        rtol=1e-5, atol=0.05,
+    )
+
+
 def test_tof_optimized_equals_refined_points():
     """TOF's projection stage copies the input points unchanged (the
     reference's optimisation kernels are commented out)."""

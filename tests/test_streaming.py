@@ -42,6 +42,27 @@ def test_stream_runs_and_checkpoints(tmp_path):
     assert float(jnp.max(state2.buffer.weight)) >= 4.0
 
 
+def test_stream_kde_only_serving(tmp_path):
+    """kde_only serving mode: no capture fold, checksum metric counts every
+    frame, and on_outputs sees each chunk's refined points (still on device)
+    with the right start indices and batch shape."""
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    color, noisy, gt = make_noisy_scene(h, w, intr, seed=3)
+    cfg = dataclasses.replace(KDEConfig(), grid=GridParams(3, 4))
+
+    seen = []
+    state = streaming.run_stream(
+        _frames(gt, 5), color, intr, cfg=cfg, batch=2, kde_only=True,
+        on_outputs=lambda start, pts: seen.append((start, pts.shape)),
+    )
+    assert state.frame_index == 5
+    assert state.metric_counts["kde_checksum"] == 5
+    assert seen == [(0, (2, h, w, 3)), (2, (2, h, w, 3)), (4, (1, h, w, 3))]
+    # buffer untouched in serving mode
+    assert float(jnp.max(state.buffer.weight)) == 0.0
+
+
 import pytest
 
 
