@@ -197,6 +197,12 @@ class KDEConfig(PipelineConfig):
     # textured scenes sit at >= 0.6%.  0 disables snapping entirely;
     # float('inf') restores exact reference behaviour.
     max_plane_residual: float = 0.0025
+    # Label-consistent plane hole-fill (spec EXTENSION; ops/plane.py::
+    # plane_hole_fill): dilate (merged label, plane) this many steps into
+    # invalid-depth pixels surrounded by ONE trusted cluster and project the
+    # ray onto the plane.  Targets the TOF scenario's coherent dropouts
+    # (EVAL_FAR.md sparse variant).  0 (default) = off, reference-exact.
+    fill_holes: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -178,6 +178,32 @@ def kde_pipeline(
             index=nasp_cell,
             rep=rep,
         )
+        if cfg.fill_holes > 0:
+            # per-pixel cluster-trust map: the same gates (and the same
+            # gathers — XLA CSEs them) as variance_optimization
+            tbl = jnp.concatenate(
+                [
+                    merged.variance[:, None],
+                    merged.sizes.astype(jnp.float32)[:, None],
+                ]
+                + ([resid[:, None]] if resid is not None else []),
+                axis=-1,
+            )
+            if nasp_cell is not None:
+                g = nasp_cell.gather(tables.gather(tbl, merged.rep))
+            else:
+                g = tables.gather(tbl, merged.labels)
+            trust = (
+                (merged.labels > -1)
+                & (jnp.minimum(g[..., 0], 1.0) > plane.COS_PI_8)
+                & (g[..., 1] > cfg.min_cluster_size)
+            )
+            if resid is not None:
+                trust = trust & (g[..., 2] < cfg.max_plane_residual)
+            optimized = plane.plane_hole_fill(
+                optimized, rays, merged.labels, merged.nd_map, trust,
+                points[..., 2] <= plane.VALID_DEPTH_MM, cfg.fill_holes,
+            )
         optimized = plane.depth_bilateral(optimized, rays, cfg.projection)
     return KDEResult(
         optimized_points=optimized,

@@ -38,14 +38,15 @@ def _chunk_step(intr: Intrinsics, cfg: KDEConfig, kde_only: bool):
     jit wrapper per call cost a full retrace and, cold, a multi-minute
     XLA compile of the combined program).  Colour is a traced argument.
 
-    The DepthBuffer is DONATED: its storage is reused for the output buffer,
-    so the sequential buffer thread never allocates and chunk N+1's dispatch
-    can be enqueued while chunk N still computes (double-buffered serving).
+    NOTE (round 5): the DepthBuffer deliberately is NOT donated.  Donating
+    it (donate_argnums=(0,)) crashes the axon remote-TPU runtime with
+    INVALID_ARGUMENT at execution when the executable is the composed KDE
+    chunk (minimal donated programs run fine — bisected round 5), and the
+    donation would only save a 2.4 MB allocation per chunk.  The real
+    overlap win is run_stream's one-chunk-deep deferred readback.
     """
 
-    donate = (0,) if jax.default_backend() == "tpu" else ()  # CPU: no aliasing
-
-    @functools.partial(jax.jit, donate_argnums=donate)
+    @jax.jit
     def step(buf: buffer2d.DepthBuffer, depths: jnp.ndarray, c: jnp.ndarray):
         """depths: [B, H, W].  KDE runs vmapped (frames are independent);
         the temporal buffer + metric fold is a scan in the same executable."""

@@ -299,6 +299,68 @@ def eigenvalue_optimization(
     return jnp.where(gate[..., None], rays * new_z[..., None], optimized)
 
 
+def plane_hole_fill(
+    optimized: jnp.ndarray,
+    rays: jnp.ndarray,
+    labels: jnp.ndarray,
+    nd_map: jnp.ndarray,
+    trust: jnp.ndarray,
+    invalid: jnp.ndarray,
+    steps: int,
+) -> jnp.ndarray:
+    """Label-consistent plane hole-fill (spec extension, KDEConfig.fill_holes;
+    the reference has no equivalent — its TOF-interpolation use case
+    (TOFDepthInterpolation.cpp) relies on setPsuedoDepth's plane projection,
+    Projection_GPU.cu:21-122, which is undefined at label-less hole pixels).
+
+    Sensor dropouts (z <= 50 mm) inside a coherent, gated cluster have a
+    well-defined depth: the cluster's merged plane along the pixel's ray.
+    This pass dilates (label, plane) from TRUSTED pixels (cluster passed the
+    variance/size/residual gates of variance_optimization) into `invalid`
+    pixels `steps` times; a pixel fills only while its trusted 4-neighbours
+    AGREE on one cluster, so fills never cross cluster boundaries and
+    hole pixels straddling two surfaces stay unfilled.  Deterministic:
+    candidate priority is (up, down, left, right).
+    """
+    h, w = labels.shape
+    lab0 = jnp.where(trust, labels, -1)
+    nd0 = jnp.where(trust[..., None], nd_map, 0.0)
+
+    def shift(x, dy, dx, fill):
+        pad = jnp.pad(
+            x,
+            ((1, 1), (1, 1)) + ((0, 0),) * (x.ndim - 2),
+            constant_values=fill,
+        )
+        return lax.slice(
+            pad,
+            (1 + dy, 1 + dx) + (0,) * (x.ndim - 2),
+            (1 + dy + h, 1 + dx + w) + x.shape[2:],
+        )
+
+    def step(_, st):
+        lab, nd = st
+        cand_l = jnp.full((h, w), -1, jnp.int32)
+        cand_nd = jnp.zeros((h, w, 4), jnp.float32)
+        consistent = jnp.ones((h, w), bool)
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            l2 = shift(lab, dy, dx, -1)
+            n2 = shift(nd, dy, dx, 0.0)
+            take = (cand_l < 0) & (l2 >= 0)
+            cand_l = jnp.where(take, l2, cand_l)
+            cand_nd = jnp.where(take[..., None], n2, cand_nd)
+            consistent = consistent & ((l2 < 0) | (l2 == cand_l))
+        fill = (lab < 0) & invalid & (cand_l >= 0) & consistent
+        lab = jnp.where(fill, cand_l, lab)
+        nd = jnp.where(fill[..., None], cand_nd, nd)
+        return lab, nd
+
+    lab, nd = lax.fori_loop(0, steps, step, (lab0, nd0))
+    filled = (lab >= 0) & (lab0 < 0) & invalid
+    proj = _project(nd, rays)
+    return jnp.where(filled[..., None], proj, optimized)
+
+
 def depth_bilateral(
     optimized: jnp.ndarray,
     rays: jnp.ndarray,

@@ -47,7 +47,11 @@ def evaluate(
     timing_iters: int = 5,
     methods: Optional[list] = None,
     figure_path: Optional[str] = None,
+    fill_steps: int = 0,
 ) -> Dict[str, Dict[str, float]]:
+    """fill_steps > 0 adds a "kde_fill" row: KDE with the label-consistent
+    plane hole-fill (KDEConfig.fill_holes — the sparse/TOF-dropout regime,
+    EVAL_FAR.md sparse variant)."""
     h, w = depth.shape
     if intr is None:
         intr = default_kinect_intrinsics(w, h)
@@ -81,6 +85,11 @@ def evaluate(
             dd, cc, intr, kde_cfg
         ).optimized_points,
     }
+    if fill_steps > 0:
+        fill_cfg = dataclasses.replace(kde_cfg, fill_holes=fill_steps)
+        runs["kde_fill"] = lambda dd, cc: pipelines.kde_pipeline(
+            dd, cc, intr, fill_cfg
+        ).optimized_points
     if include_sp_methods:
         runs["spdsp"] = lambda dd, cc: pipelines.spdsp_pipeline(
             dd, projective_to_real(dd, intr), cc, intr, spdsp_cfg

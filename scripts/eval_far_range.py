@@ -49,6 +49,9 @@ def main() -> None:
         intr=intr,
         timing_iters=3,
         figure_path=figure,
+        # sparse variant: also score KDE with the label-consistent plane
+        # hole-fill (8x8 dropouts -> 4 dilation steps reach hole centres)
+        fill_steps=4 if holes > 0.0 else 0,
     )
     print(evaluate.write_report(out, results))
 

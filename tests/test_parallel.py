@@ -235,7 +235,13 @@ def test_sharded_kde_matches_single_device_full_res():
         )
     )
     want = np.asarray(single(depth, color))
-    # GSPMD reduction regrouping flips a handful of f32 gate boundaries
+    # Round-5 tightening (VERDICT r4 #3): scripts/analyze_sharded_gates.py
+    # found ZERO diverging pixels at 640x480 on this mesh — GSPMD's spatial
+    # partition preserves every reduction grouping that feeds a gate (cells
+    # never straddle the x=2 shard cut at 640/2, and the K-side folds are
+    # replicated).  The old 150 mm q99.99 allowance was defensive; gate the
+    # strong property: NO pixel moves by more than 0.5 mm.  If a future
+    # XLA/partitioner regroups a knife-edge f32 gate this fails loudly —
+    # rerun the analysis script for the per-gate census before relaxing.
     diff = np.abs(got - want).max(-1)
-    assert (diff < 0.5).mean() > 0.999
-    assert float(np.quantile(diff, 0.9999)) < 150.0
+    assert float(diff.max()) < 0.5

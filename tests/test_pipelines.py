@@ -157,6 +157,60 @@ def test_tof_full_res_plane_quality(full_scene):
     assert float(np.sqrt(np.mean((zf - gtn)[m] ** 2))) < 12.0
 
 
+def test_kde_plane_hole_fill():
+    """fill_holes (spec extension): an 8x8 dropout inside a coherent planar
+    cluster is reconstructed by projecting the ray onto the merged plane;
+    fill_holes=0 stays reference-exact (hole interior unfilled: the 7x7
+    bilateral only reaches a 3 px rim).
+
+    Scene: ONE gently slanted plane, so the merged cluster passes every
+    trust gate (variance ~1, plane-fit residual ~ noise/z << 0.25%) — the
+    multi-surface small scene of _scene() fails the residual gate for every
+    cluster at this resolution (planes straddle surfaces by design there).
+    """
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    rng = np.random.default_rng(5)
+    u = np.arange(w, dtype=np.float32)[None, :]
+    v = np.arange(h, dtype=np.float32)[:, None]
+    gt = 2200.0 + 1.2 * u + 0.8 * v
+    noisy_np = (gt + rng.normal(0.0, 2.0, gt.shape)).astype(np.float32)
+    color = (
+        (128.0 + 60.0 * np.sin(u / 9.0) + 50.0 * np.cos(v / 7.0))[..., None]
+        + rng.normal(0, 6.0, (h, w))[..., None] * np.ones((1, 1, 3))
+    ).clip(0, 255).astype(np.uint8)
+    grid = GridParams(rows=3, cols=4)
+    hy, hx = 40, 60
+    noisy_np[hy : hy + 8, hx : hx + 8] = 0.0
+    d = jnp.asarray(noisy_np)
+    color = jnp.asarray(color)
+    # min_cluster_size scaled for 96x128 (the reference's 1300 assumes
+    # 640x480 cells; cells here are 1024 px)
+    base = dataclasses.replace(KDEConfig(), grid=grid, min_cluster_size=300)
+    cfg0 = base
+    cfg4 = dataclasses.replace(base, fill_holes=4)
+
+    r0 = jax.jit(lambda dd, cc: pipelines.kde_pipeline(dd, cc, intr, cfg0))(
+        d, color
+    )
+    r4 = jax.jit(lambda dd, cc: pipelines.kde_pipeline(dd, cc, intr, cfg4))(
+        d, color
+    )
+    z0 = np.asarray(r0.optimized_points[..., 2])
+    z4 = np.asarray(r4.optimized_points[..., 2])
+    centre = (slice(hy + 3, hy + 5), slice(hx + 3, hx + 5))
+    # unfillable without the pass (bilateral support cannot reach)
+    assert np.all(z0[centre] <= 50.0)
+    # the trust gates must actually pass here, else the test is vacuous
+    assert np.all(z4[centre] > 50.0)
+    gt_np = np.asarray(gt)
+    assert np.abs(z4[centre] - gt_np[centre]).max() < 40.0
+    # outside the hole the two configs agree except the bilateral's rim
+    outside = np.ones_like(z0, bool)
+    outside[hy - 4 : hy + 12, hx - 4 : hx + 12] = False
+    np.testing.assert_allclose(z4[outside], z0[outside], rtol=0, atol=1e-3)
+
+
 def test_spdsp_tof_cell_route_matches_global():
     """Round-5 capped-locality routes (5-iteration capped SLIC + cell-local
     pca/merge/projection gathers with lax.cond fallback) vs the all-global
