@@ -1,9 +1,14 @@
 """Per-pipeline device frame time (chained-iteration method, PERF.md).
 
-Usage: python scripts/measure_pipelines.py [jbf mrf rgbf kde spdsp tof]
+Usage: python scripts/measure_pipelines.py [jbf mrf rgbf kde spdsp tof] [--xla]
 Prints one `name device_frame_ms fps` line per requested pipeline (default:
 all six).  Two compiles per pipeline; the chained fori_loop isolates device
 time from the ~30 ms axon-tunnel dispatch floor exactly like measure_kde.py.
+
+--xla measures the all-XLA-twin KDE (parallel/sharding.py::disable_pallas)
+— the executable a spatially-sharded ('x' > 1) deployment actually runs,
+since GSPMD cannot partition a pallas_call.  This is the per-chip rate of
+the spatial fallback mode (VERDICT r4 missing #3).
 """
 
 import os
@@ -42,6 +47,13 @@ d0 = jnp.asarray(depth)
 
 def run_one(name: str) -> None:
     kde_cfg = KDEConfig()
+    if "--xla" in sys.argv:
+        from kinectdepthmapenhancement_tpu.parallel.sharding import disable_pallas
+
+        kde_cfg = disable_pallas(kde_cfg)
+        name_out = name + "_xla"
+    else:
+        name_out = name
 
     def frame(dd):
         if name == "jbf":
@@ -80,9 +92,9 @@ def run_one(name: str) -> None:
         t0 = time.perf_counter(); float(f_hi(d0)); t_hi = time.perf_counter() - t0
         spans.append((t_hi - t_lo) / (hi_k - lo_k))
     ms = float(np.median(spans)) * 1e3
-    print(f"{name} device_frame_ms={ms:.3f}  fps={1000.0/ms:.2f}", flush=True)
+    print(f"{name_out} device_frame_ms={ms:.3f}  fps={1000.0/ms:.2f}", flush=True)
 
 
-names = sys.argv[1:] or ["jbf", "mrf", "rgbf", "kde", "spdsp", "tof"]
+names = [a for a in sys.argv[1:] if not a.startswith("--")] or ["jbf", "mrf", "rgbf", "kde", "spdsp", "tof"]
 for n in names:
     run_one(n)
