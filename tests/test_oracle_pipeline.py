@@ -21,6 +21,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+import golden
 import oracle_pipeline
 from kinectdepthmapenhancement_tpu.core.camera import (
     default_kinect_intrinsics,
@@ -45,9 +46,20 @@ def test_kde_composed_oracle_parity():
     intr, color, noisy, gt, grid = _scene()
     cfg = dataclasses.replace(KDEConfig(), grid=grid)
 
-    want = oracle_pipeline.kde_oracle(
-        noisy.astype(np.float64), color, intr.fx, intr.fy, intr.cx, intr.cy,
-        rows=grid.rows, cols=grid.cols,
+    want = golden.cached(
+        "kde_oracle_96x128_seed0",
+        dict(
+            depth=noisy.astype(np.float64), color=color, fx=intr.fx,
+            fy=intr.fy, cx=intr.cx, cy=intr.cy, rows=grid.rows,
+            cols=grid.cols, max_fit_residual=0.0025,
+        ),
+        lambda: {
+            k: np.asarray(v)
+            for k, v in oracle_pipeline.kde_oracle(
+                noisy.astype(np.float64), color, intr.fx, intr.fy, intr.cx,
+                intr.cy, rows=grid.rows, cols=grid.cols,
+            ).items()
+        },
     )
     res = jax.jit(
         lambda d, c: pipelines.kde_pipeline(d, c, intr, cfg)
@@ -115,9 +127,21 @@ def test_kde_composed_oracle_parity_reference_exact():
         KDEConfig(), grid=grid, max_plane_residual=float("inf")
     )
 
-    want = oracle_pipeline.kde_oracle(
-        noisy.astype(np.float64), color, intr.fx, intr.fy, intr.cx, intr.cy,
-        rows=grid.rows, cols=grid.cols, max_fit_residual=float("inf"),
+    want = golden.cached(
+        "kde_oracle_96x128_seed0_refexact",
+        dict(
+            depth=noisy.astype(np.float64), color=color, fx=intr.fx,
+            fy=intr.fy, cx=intr.cx, cy=intr.cy, rows=grid.rows,
+            cols=grid.cols, max_fit_residual=float("inf"),
+        ),
+        lambda: {
+            k: np.asarray(v)
+            for k, v in oracle_pipeline.kde_oracle(
+                noisy.astype(np.float64), color, intr.fx, intr.fy, intr.cx,
+                intr.cy, rows=grid.rows, cols=grid.cols,
+                max_fit_residual=float("inf"),
+            ).items()
+        },
     )
     res = jax.jit(
         lambda d, c: pipelines.kde_pipeline(d, c, intr, cfg)
@@ -172,9 +196,20 @@ def test_rgbf_composed_oracle_parity():
     intr, color, noisy, gt, grid = _scene()
     cfg = dataclasses.replace(RGBFConfig(), grid=grid)
 
-    want = oracle_pipeline.rgbf_oracle(
-        noisy.astype(np.float64), color, intr.fx, intr.fy, intr.cx, intr.cy,
-        rows=grid.rows, cols=grid.cols,
+    want = golden.cached(
+        "rgbf_oracle_96x128_seed0",
+        dict(
+            depth=noisy.astype(np.float64), color=color, fx=intr.fx,
+            fy=intr.fy, cx=intr.cx, cy=intr.cy, rows=grid.rows,
+            cols=grid.cols,
+        ),
+        lambda: {
+            k: np.asarray(v)
+            for k, v in oracle_pipeline.rgbf_oracle(
+                noisy.astype(np.float64), color, intr.fx, intr.fy, intr.cx,
+                intr.cy, rows=grid.rows, cols=grid.cols,
+            ).items()
+        },
     )
     pts = projective_to_real(jnp.asarray(noisy), intr)
     res = jax.jit(
