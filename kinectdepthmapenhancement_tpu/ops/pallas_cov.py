@@ -12,12 +12,15 @@ the selected per-pixel (count, covariance) — the arithmetic, tap order, and
 size selection are identical to the XLA path (NormalMapGenerator.cu:244-302's
 nested windows; see ops/normals.py for the replicate/fix notes).
 
-Layout: channel-major vertex planes [B, 3, Hpad, WP] with 16-column zero pads
-and WP rounded up to a lane multiple (640 -> 768).  Column shifts are
-pltpu.roll; a roll of <= MAX_R lanes only contaminates the zero pads, so the
-compute lanes see exact zero-pad semantics with no masks.  Row shifts are
-static slab slices.  Outputs are written at full padded width and sliced by
-the caller.
+Layout: channel-major vertex planes [B, 3, Hpad, WP] with WP = width rounded
+up to a lane multiple (640 stays 640 — round 5; the round-2..4 layout padded
+16 zero columns each side and rounded 672 -> 768, wasting ~17% of the lanes).
+Column shifts are pltpu.roll, which WRAPS across the row; wrapped lanes are
+excluded by ANDing a static per-dx edge mask (0 <= x+dx < W) into the
+validity compare — one extra logical op per tap, and each excluded lane
+contributes the same exact zero the old zero-pads did, so results stay
+bit-exact vs the XLA path.  Row shifts are static slab slices.  Outputs are
+written at full padded width and sliced by the caller.
 
 Batching: the grid iterates (batch, row-slab); jax.vmap dispatches here via a
 custom_vmap rule (the manual-DMA ANY-space inputs have no generic Pallas
@@ -36,7 +39,6 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_RECT = 21  # keep in sync with ops.normals.MAX_RECT
 MAX_R = MAX_RECT >> 1  # largest |dy|/|dx| tap offset (10)
 HALO = 16  # slab row halo (>= MAX_R, 8-aligned)
-PADX = 16  # column zero pad each side (> MAX_R so rolls stay in the pads)
 
 
 def _ring_taps():
@@ -56,7 +58,9 @@ def _ring_taps():
     return rings
 
 
-def _cov_kernel(vpad_hbm, rect_ref, out_ref, v_vmem, sem, *, tile: int, wp: int):
+def _cov_kernel(
+    vpad_hbm, rect_ref, out_ref, v_vmem, sem, *, tile: int, wp: int, w: int
+):
     b = pl.program_id(0)
     i = pl.program_id(1)
     cp = pltpu.make_async_copy(
@@ -67,6 +71,15 @@ def _cov_kernel(vpad_hbm, rect_ref, out_ref, v_vmem, sem, *, tile: int, wp: int)
 
     a = v_vmem[:, HALO : HALO + tile, :]  # [3, tile, wp] centre vertices
     rect = rect_ref[0, :, :]
+
+    # static per-dx edge masks: lane x's tap at x+dx is in-image iff
+    # 0 <= x+dx < w; pltpu.roll wraps, so out-of-image lanes must be ANDed
+    # out (they then contribute exact zeros, same as the old zero-pads)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    emask = {
+        dx: (col >= -dx) & (col < w - dx)
+        for dx in range(-MAX_R, MAX_R + 1)
+    }
 
     zero = jnp.zeros((tile, wp), jnp.float32)
     cnt = zero
@@ -81,7 +94,7 @@ def _cov_kernel(vpad_hbm, rect_ref, out_ref, v_vmem, sem, *, tile: int, wp: int)
             shifted = (
                 pltpu.roll(rows, (-dx) % wp, axis=2) if dx != 0 else rows
             )
-            m = (shifted[2] != 0.0).astype(jnp.float32)
+            m = ((shifted[2] != 0.0) & emask[dx]).astype(jnp.float32)
             res = [(shifted[c] - a[c]) * m for c in range(3)]
             cnt = cnt + m
             s1 = [s1[c] + res[c] for c in range(3)]
@@ -115,19 +128,19 @@ def _cm_covariances_batched(
 ):
     bsz, h, w = rect.shape
     hp = -(-h // tile) * tile  # pad rows to a tile multiple
-    wp = -(-(w + 2 * PADX) // 128) * 128
+    wp = -(-w // 128) * 128  # lane multiple; 640 stays 640 (no column pads)
     vpad = jnp.pad(
         jnp.moveaxis(vertices_m, -1, 1),
-        ((0, 0), (0, 0), (HALO, HALO + hp - h), (PADX, wp - w - PADX)),
+        ((0, 0), (0, 0), (HALO, HALO + hp - h), (0, wp - w)),
     )
-    rpad = jnp.pad(rect, ((0, 0), (0, hp - h), (PADX, wp - w - PADX)))
+    rpad = jnp.pad(rect, ((0, 0), (0, hp - h), (0, wp - w)))
 
     try:
         compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     except AttributeError:  # older JAX spelling
         compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    kernel = functools.partial(_cov_kernel, tile=tile, wp=wp)
+    kernel = functools.partial(_cov_kernel, tile=tile, wp=wp, w=w)
     out = pl.pallas_call(
         kernel,
         grid=(bsz, hp // tile),
@@ -148,7 +161,7 @@ def _cm_covariances_batched(
         ],
         interpret=interpret,
     )(vpad, rpad)
-    out = out[:, :, :h, PADX : PADX + w]
+    out = out[:, :, :h, :w]
     return out[:, 0], jnp.moveaxis(out[:, 1:], 1, -1)
 
 
