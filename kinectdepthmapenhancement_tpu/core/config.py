@@ -203,6 +203,16 @@ class KDEConfig(PipelineConfig):
     # ray onto the plane.  Targets the TOF scenario's coherent dropouts
     # (EVAL_FAR.md sparse variant).  0 (default) = off, reference-exact.
     fill_holes: int = 0
+    # Plane-consistency merge (spec EXTENSION; ops/ccl.py::merge_planes):
+    # replace the reference's normal-similarity CCL merge with a merge of
+    # adjacent superpixels whose least-squares planes mutually explain each
+    # other's members to < pm_tau relative RMS.  On far-range banded depth
+    # the normal merge over-merges (quantization-biased normals) and the
+    # residual gate then disables the projection stage entirely; this merge
+    # recovers the true surfaces (EVAL_FAR.md round 5).  False (default) =
+    # reference merge.
+    plane_merge: bool = False
+    pm_tau: float = 0.0035
 
 
 @dataclasses.dataclass(frozen=True)

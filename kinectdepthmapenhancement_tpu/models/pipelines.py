@@ -143,10 +143,19 @@ def kde_pipeline(
         else None
     )
     with jax.named_scope("kde.ccl_merge"):
-        merged = ccl.merge_normals(
-            nasp.labels, nasp.clusters.normal, nasp.clusters.center, cfg.ccl,
-            index=nasp_cell,
-        )
+        if cfg.plane_merge:
+            # plane-consistency merge (spec extension; see config.py and
+            # ops/ccl.py::merge_planes) — same MergeResult keying, so the
+            # whole projection / gate / fill block below is unchanged
+            merged = ccl.merge_planes(
+                points, nasp.labels, cfg.grid.num_clusters,
+                index=nasp_cell, tau=cfg.pm_tau,
+            )
+        else:
+            merged = ccl.merge_normals(
+                nasp.labels, nasp.clusters.normal, nasp.clusters.center,
+                cfg.ccl, index=nasp_cell,
+            )
     with jax.named_scope("kde.projection"):
         # cell-local gather route for all per-merged-cluster tables (the
         # direct route costs a [H*W, K] one-hot matmul per gather)

@@ -246,3 +246,165 @@ def merge_pca(
         labels, cluster_nd, valid, cluster_centers, predicate, eigenvalues,
         index=index,
     )
+
+
+def merge_planes(
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    k: int,
+    *,
+    index=None,
+    tau: float = 0.0035,
+    min_points: int = 100,
+) -> MergeResult:
+    """Plane-consistency CCL merge (spec extension, round 5; no reference
+    equivalent — LabelEquivalenceSeg.cu:228-282 merges by per-cluster NORMAL
+    similarity, which over-merges on far-range banded depth where the
+    per-pixel normals are quantization-biased: measured on the EVAL_FAR
+    scene, every normal-merged cluster spans multiple true surfaces and no
+    plane fits one better than 0.77% relative RMS, so the plane-confidence
+    gate disables the projection stage entirely and the PROPOSED method
+    degenerates to its bilateral passes).
+
+    This merge instead fits a least-squares plane per ORIGINAL superpixel
+    (valid-depth members only) and merges adjacent clusters whose planes
+    mutually explain each other's members:
+
+        cross(p -> q) = RMS over q's members x of (z_plane_p(x) - z(x)) / z
+
+    evaluated in closed form from per-cluster moments: with w = n/d the
+    inverse-depth plane coefficient (1/z_plane = w . u along the unit-z ray
+    u = x/z, so the relative z error at x is 1 - w . x to first order),
+
+        cross^2(p -> q) = (1 - w_p . mean_q)^2 + w_p^T C_q w_p
+
+    where mean_q / C_q are the mean and covariance of q's member vertices —
+    both already computed for the fits; no per-pixel work per pair.  Merged
+    components are refit from recombined moments (parallel-axis, f32-safe)
+    so each component's plane is the LSQ fit of ALL its members.  On the
+    far-range scene this recovers the true surfaces to < 1 mm where the
+    normal merge left 5-20% misfits (EVAL_FAR.md round 5).
+
+    Returns a MergeResult keyed exactly like merge_normals, so the whole
+    downstream projection / residual-gate / hole-fill machinery is reused
+    unchanged (variance = member-plane coherence vs the component plane,
+    which keeps set_pseudo_depth_map's acos(variance) < pi/8 gate
+    meaningful)."""
+    from kinectdepthmapenhancement_tpu.core.buffer2d import VALID_DEPTH_MM
+
+    h, w = points.shape[:2]
+    z = points[..., 2]
+    idx = index if index is not None else slic_mod._GlobalIndex(labels, k)
+    mask = (labels >= 0) & (z > VALID_DEPTH_MM)
+
+    ones = jnp.ones((h, w, 1), jnp.float32)
+    sums = idx.segment_sum(jnp.concatenate([points, ones], axis=-1), mask)
+    cnt = sums[:, 3]
+    safe = jnp.maximum(cnt, 1.0)
+    mean = sums[:, :3] / safe[:, None]
+    centered = jnp.where(mask[..., None], points - idx.gather(mean), 0.0)
+    cx, cy, cz = centered[..., 0], centered[..., 1], centered[..., 2]
+    sq = jnp.stack([cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], -1)
+    scat = idx.segment_sum(sq, mask)  # [K, 6] centred scatter
+
+    def cov3(scat6, n):
+        n = jnp.maximum(n, 1.0)[:, None, None]
+        return jnp.stack(
+            [
+                jnp.stack([scat6[:, 0], scat6[:, 1], scat6[:, 2]], -1),
+                jnp.stack([scat6[:, 1], scat6[:, 3], scat6[:, 4]], -1),
+                jnp.stack([scat6[:, 2], scat6[:, 4], scat6[:, 5]], -1),
+            ],
+            axis=1,
+        ) / n
+
+    def regress(scat6, mean_, n_):
+        """z-regression plane z = a x + b y + c from centred moments: a 2x2
+        solve, far better conditioned in f32 than the total-LSQ eigenproblem
+        (smallest eigenvalue ~ noise^2 under a matrix norm ~ extent^2; the
+        closed-form cubic there loses enough precision to tilt the normal by
+        ~1e-3 rad, ~3 mm of depth across a component — measured round 5).
+        It also minimises exactly the z-residual that plane_fit_residual
+        gates on, and matches the sensor's z-only noise model."""
+        sxx, sxy, sxz = scat6[:, 0], scat6[:, 1], scat6[:, 2]
+        syy, syz = scat6[:, 3], scat6[:, 4]
+        det = sxx * syy - sxy * sxy
+        solvable = det > 1e-6
+        det_s = jnp.where(solvable, det, 1.0)
+        a = (sxz * syy - syz * sxy) / det_s
+        b = (sxx * syz - sxy * sxz) / det_s
+        # plane n . x = d with n ~ (-a, -b, 1) normalised, d = n . mean
+        nv = jnp.stack([-a, -b, jnp.ones_like(a)], axis=-1)
+        nv = nv / jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        dv = jnp.sum(nv * mean_, axis=-1)
+        sgn = jnp.where(dv < 0.0, -1.0, 1.0)
+        return nv * sgn[:, None], dv * sgn, solvable & (n_ >= 3.0)
+
+    cov = cov3(scat, cnt)
+    nvec, d, fit_ok = regress(scat, mean, cnt)
+    valid_c = fit_ok & (cnt >= float(min_points)) & (d > 1e-3)
+
+    w_vec = nvec / jnp.maximum(d, 1e-6)[:, None]  # [K, 3] inverse-depth coeff
+    # HIGHEST precision is load-bearing: TPU matmuls default to bf16 passes,
+    # and (1 - a) must resolve ~1e-3 while a ~ 1.0 — at bf16's ~3e-3 the
+    # merge test is noise (measured round 5: comps fragment 85 -> 160)
+    hi = lax.Precision.HIGHEST
+    a = jnp.einsum("pi,qi->pq", w_vec, mean, precision=hi)
+    b = jnp.einsum("pi,qij,pj->pq", w_vec, cov, w_vec, precision=hi)
+    cross2 = jnp.square(1.0 - a) + b
+    ok = cross2 < tau * tau
+    mergeable = (
+        _adjacency(idx) & ok & ok.T & valid_c[:, None] & valid_c[None, :]
+    )
+    rep = _components(mergeable, valid_c)
+
+    # ---- component refit from recombined moments (parallel-axis, f32-safe:
+    # the correction terms are (cluster mean - component mean) deltas, not
+    # raw coordinate moments)
+    sums_c = tables.segment_sum(sums, rep, k)  # [K, 4] keyed by rep id
+    cnt_c = sums_c[:, 3]
+    mean_c = sums_c[:, :3] / jnp.maximum(cnt_c, 1.0)[:, None]
+    delta = mean - jnp.take(mean_c, rep, axis=0)
+    ex, ey, ez = delta[:, 0], delta[:, 1], delta[:, 2]
+    corr = (
+        jnp.stack([ex * ex, ex * ey, ex * ez, ey * ey, ey * ez, ez * ez], -1)
+        * cnt[:, None]
+    )
+    scat_c = tables.segment_sum(scat + corr, rep, k)
+    nc, dc, _ = regress(scat_c, mean_c, cnt_c)
+    cluster_nd = jnp.concatenate([nc, dc[:, None]], axis=-1)  # keyed by rep
+
+    # variance := coherence of member-cluster planes with the component
+    # plane (weighted mean of |n_member . n_component|), so the existing
+    # acos(variance) < pi/8 gates stay meaningful
+    coh = jnp.abs(jnp.sum(nvec * jnp.take(nc, rep, axis=0), axis=-1))
+    var_sum = tables.segment_sum(
+        (coh * cnt * valid_c.astype(jnp.float32))[:, None], rep, k
+    )[:, 0]
+    variance = var_sum / jnp.maximum(cnt_c, 1.0)
+
+    # ---- per-pixel maps: K-side composition + ONE gather (as in _merge)
+    by_k = tables.gather(cluster_nd, rep)  # [K, 4]
+    tbl = jnp.concatenate(
+        [
+            rep.astype(jnp.float32)[:, None],
+            valid_c.astype(jnp.float32)[:, None],
+            by_k,
+        ],
+        axis=-1,
+    )
+    g = idx.gather(tbl)
+    pix_valid = (labels >= 0) & (g[..., 1] > 0.0)
+    merged = jnp.where(pix_valid, g[..., 0].astype(jnp.int32), -1)
+    nd_map = jnp.where((merged >= 0)[..., None], g[..., 2:6], 0.0)
+
+    return MergeResult(
+        labels=merged,
+        nd_map=nd_map,
+        variance=variance,
+        sizes=cnt_c.astype(jnp.int32),
+        cluster_nd=cluster_nd,
+        eigenvalues=jnp.zeros((k,), jnp.float32),
+        eigen_map=jnp.zeros((h, w), jnp.float32),
+        rep=rep,
+    )

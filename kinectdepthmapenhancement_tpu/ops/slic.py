@@ -272,14 +272,14 @@ class _CellIndex:
                 interpret=jax.default_backend() != "tpu",
             )
         ct = self._cand_table(table)
-        out = None
-        for part in tables.split3(ct):
-            o = lax.dot_general(
-                self.oh, part,
-                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32,
-            )
-            out = o if out is None else out + o
+        # f32 HIGHEST: the bf16-split-parts route miscompiles on current XLA
+        # (parts re-merged at bf16 in a fused convolution — see tables._dot)
+        out = lax.dot_general(
+            self.oh.astype(jnp.float32), ct,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
         return self._from_cells(out)
 
     def segment_sum(self, feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -300,14 +300,13 @@ class _CellIndex:
         fb = self._to_cells(
             (feats * mask[..., None]).astype(jnp.float32)
         )
-        part = None
-        for p in tables.split3(fb):
-            o = lax.dot_general(
-                self.oh, p,
-                dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32,
-            )
-            part = o if part is None else part + o
+        # f32 HIGHEST: see gather above / tables._dot
+        part = lax.dot_general(
+            self.oh.astype(jnp.float32), fb,
+            dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
         part_flat = part.reshape(-1, feats.shape[-1])
         return tables.segment_sum(
             part_flat, self.cand_flat, self.k, onehot=self.oh_k

@@ -68,17 +68,28 @@ _split3 = split3
 
 
 def _dot(p: jnp.ndarray, t: jnp.ndarray, contract_p: int) -> jnp.ndarray:
-    """sum_i of exact bf16-split matmuls: p (bf16 0/1) x t (f32) -> f32.
-    contract_p: which axis of p contracts (1 for gather, 0 for segment sum)."""
+    """Exact one-hot matmul: p (0/1) x t (f32) -> f32 with no precision loss
+    beyond f32 accumulation.  contract_p: which axis of p contracts (1 for
+    gather, 0 for segment sum).
+
+    f32 x f32 at Precision.HIGHEST (6-pass bf16 emulation on the MXU) —
+    measured EXACT for gathers (abs diff 0.0 vs the table) and f32-rounding-
+    level for sums.  The previous route (3 dots of exact bf16 split parts,
+    summed in f32) is mathematically exact but MISCOMPILES on current XLA:
+    the narrow-output dots lower through a fused convolution path that
+    re-merges the parts at bf16, silently rounding every gathered table
+    value to 8 mantissa bits (~0.3% on mm-scale depths) and costing
+    segment sums ~2^-8-relative error (round-5 finding).  The CPU backend
+    does not reproduce the miscompile, so the guard is the on-chip check
+    scripts/check_tables_tpu.py — run it after any XLA or tables change."""
     dn = (((contract_p,), (0,)), ((), ()))
-    parts = _split3(t)
-    out = None
-    for part in parts:
-        o = jax.lax.dot_general(
-            p, part, dimension_numbers=dn, preferred_element_type=jnp.float32
-        )
-        out = o if out is None else out + o
-    return out
+    return jax.lax.dot_general(
+        p.astype(jnp.float32),
+        t.astype(jnp.float32),
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def gather(table: jnp.ndarray, labels: jnp.ndarray, *, onehot: Optional[jnp.ndarray] = None):
