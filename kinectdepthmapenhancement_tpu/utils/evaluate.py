@@ -48,10 +48,15 @@ def evaluate(
     methods: Optional[list] = None,
     figure_path: Optional[str] = None,
     fill_steps: int = 0,
+    plane_merge: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """fill_steps > 0 adds a "kde_fill" row: KDE with the label-consistent
     plane hole-fill (KDEConfig.fill_holes — the sparse/TOF-dropout regime,
-    EVAL_FAR.md sparse variant)."""
+    EVAL_FAR.md sparse variant).  plane_merge adds a "kde_pm" row (the
+    plane-consistency merge, ops/ccl.py::merge_planes); combined with
+    fill_steps it also adds "kde_pm_fill" (the two extensions compose —
+    the fill only fires when cluster planes pass the confidence gates,
+    which on far-range banded depth requires the plane merge)."""
     h, w = depth.shape
     if intr is None:
         intr = default_kinect_intrinsics(w, h)
@@ -90,6 +95,18 @@ def evaluate(
         runs["kde_fill"] = lambda dd, cc: pipelines.kde_pipeline(
             dd, cc, intr, fill_cfg
         ).optimized_points
+    if plane_merge:
+        pm_cfg = dataclasses.replace(kde_cfg, plane_merge=True)
+        runs["kde_pm"] = lambda dd, cc: pipelines.kde_pipeline(
+            dd, cc, intr, pm_cfg
+        ).optimized_points
+        if fill_steps > 0:
+            pmf_cfg = dataclasses.replace(
+                kde_cfg, plane_merge=True, fill_holes=fill_steps
+            )
+            runs["kde_pm_fill"] = lambda dd, cc: pipelines.kde_pipeline(
+                dd, cc, intr, pmf_cfg
+            ).optimized_points
     if include_sp_methods:
         runs["spdsp"] = lambda dd, cc: pipelines.spdsp_pipeline(
             dd, projective_to_real(dd, intr), cc, intr, spdsp_cfg

@@ -52,6 +52,8 @@ def main() -> None:
         # sparse variant: also score KDE with the label-consistent plane
         # hole-fill (8x8 dropouts -> 4 dilation steps reach hole centres)
         fill_steps=4 if holes > 0.0 else 0,
+        # round 5: the plane-consistency merge rows (kde_pm / kde_pm_fill)
+        plane_merge=True,
     )
     print(evaluate.write_report(out, results))
 

@@ -62,6 +62,11 @@ def run_one(name: str) -> None:
             return pipelines.mrf_pipeline(dd, c, kde_cfg)
         if name == "kde":
             return pipelines.kde_pipeline(dd, c, intr, kde_cfg).optimized_points
+        if name == "kde_pm":
+            import dataclasses
+
+            pm_cfg = dataclasses.replace(kde_cfg, plane_merge=True)
+            return pipelines.kde_pipeline(dd, c, intr, pm_cfg).optimized_points
         pts = projective_to_real(dd, intr)
         if name == "rgbf":
             return pipelines.rgbf_pipeline(dd, pts, c, RGBFConfig()).refined_depth

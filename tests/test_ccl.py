@@ -148,3 +148,80 @@ def test_merge_cell_index_matches_global():
         np.asarray(fast.variance), np.asarray(base.variance), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(fast.sizes), np.asarray(base.sizes))
+
+
+def test_merge_planes_two_surfaces():
+    """merge_planes (round-5 spec extension): cells on the same true plane
+    merge; cells across a depth/slope discontinuity do not; component
+    planes land on the true surfaces (z-regression LSQ of all members)."""
+    from kinectdepthmapenhancement_tpu.core.config import GridParams
+    from kinectdepthmapenhancement_tpu.ops import slic as slic_mod
+
+    h, w = 96, 128
+    grid = GridParams(3, 4)   # 12 cells of 32x32
+    k = grid.num_clusters
+    rng = np.random.default_rng(3)
+    u = np.arange(w, dtype=np.float64)[None, :]
+    v = np.arange(h, dtype=np.float64)[:, None]
+    # plane A (left half): z = 2000 + 1.5 u + 0.5 v;  plane B (right half):
+    # z = 3000 - 1.0 u + 0.8 v  (clearly inconsistent with A at the seam)
+    za = 2000.0 + 1.5 * u + 0.5 * v
+    zb = 3000.0 - 1.0 * u + 0.8 * v
+    z = np.where(u < w // 2, za, zb) + rng.normal(0, 1.0, (h, w))
+    # vertices with x ~ u, y ~ v scaled to mm (any affine frame works: the
+    # merge only needs planarity in (x, y, z))
+    pts = np.stack([u * 4.0 + 0 * v, v * 4.0 + 0 * u, z], -1).astype(np.float32)
+    labels = np.asarray(slic_mod.init_labels(grid, h, w)).astype(np.int32)
+
+    res = ccl.merge_planes(jnp.asarray(pts), jnp.asarray(labels), k)
+    lab = np.asarray(res.labels)
+    left = lab[:, : w // 2]
+    right = lab[:, w // 2 :]
+    # each half collapses to one component, and they differ
+    assert len(np.unique(left)) == 1 and len(np.unique(right)) == 1
+    assert left[0, 0] != right[0, 0]
+    # component planes reproduce the true depths along the rays: evaluate
+    # n.x = d at the member vertices
+    nd = np.asarray(res.cluster_nd)
+    for half, ztrue in ((left[0, 0], za[:, : w // 2]), (right[0, 0], zb[:, w // 2 :])):
+        n, d = nd[half, :3], nd[half, 3]
+        m = lab == half
+        pr = pts[m].astype(np.float64)
+        zp = (d - n[0] * pr[:, 0] - n[1] * pr[:, 1]) / n[2]
+        # LSQ plane sits at the sigma=1 noise level (RMS; the max over ~6k
+        # pixels of N(0,1) residuals legitimately reaches ~4)
+        assert np.sqrt(np.mean((zp - pr[:, 2]) ** 2)) < 1.5
+    # sizes / variance keyed by rep, coherent components
+    reps = np.unique(lab[lab >= 0])
+    sizes = np.asarray(res.sizes)
+    assert sizes[reps].sum() == (lab >= 0).sum()
+    assert np.all(np.asarray(res.variance)[reps] > 0.99)
+
+
+def test_merge_planes_cell_index_matches_global():
+    """The cell-local index route of merge_planes must agree with the
+    global one-hot route (same merges; planes to f32-order tolerance)."""
+    from kinectdepthmapenhancement_tpu.core.config import GridParams
+    from kinectdepthmapenhancement_tpu.ops import slic as slic_mod
+
+    h, w = 96, 128
+    grid = GridParams(3, 4)
+    k = grid.num_clusters
+    rng = np.random.default_rng(7)
+    u = np.arange(w, dtype=np.float64)[None, :]
+    v = np.arange(h, dtype=np.float64)[:, None]
+    z = 2500.0 + 0.8 * u + 0.6 * v + rng.normal(0, 2.0, (h, w))
+    pts = np.stack([u * 4.0 + 0 * v, v * 4.0 + 0 * u, z], -1).astype(np.float32)
+    labels = np.asarray(slic_mod.init_labels(grid, h, w)).astype(np.int32)
+    # a few invalid-depth pixels exercise the valid mask
+    hole = rng.random((h, w)) < 0.01
+    pts[hole] = 0.0
+
+    base = ccl.merge_planes(jnp.asarray(pts), jnp.asarray(labels), k)
+    idx = slic_mod._CellIndex(jnp.asarray(labels), grid, 4, h, w)
+    fast = ccl.merge_planes(jnp.asarray(pts), jnp.asarray(labels), k, index=idx)
+    np.testing.assert_array_equal(np.asarray(fast.labels), np.asarray(base.labels))
+    np.testing.assert_allclose(
+        np.asarray(fast.cluster_nd), np.asarray(base.cluster_nd),
+        rtol=1e-4, atol=1e-4,
+    )

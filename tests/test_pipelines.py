@@ -211,6 +211,55 @@ def test_kde_plane_hole_fill():
     np.testing.assert_allclose(z4[outside], z0[outside], rtol=0, atol=1e-3)
 
 
+def test_kde_plane_merge_small_scene():
+    """plane_merge (round-5 spec extension) on a two-plane small scene:
+    cells merge per surface, the projection fires, and the recovered
+    interiors land at the noise level; plane_merge=False takes the
+    reference merge path unchanged."""
+    from kinectdepthmapenhancement_tpu.core.testdata import _plane_depth
+
+    h, w = 96, 128
+    intr = default_kinect_intrinsics(w, h)
+    rng = np.random.default_rng(9)
+    u = np.arange(w, dtype=np.float32)[None, :]
+    v = np.arange(h, dtype=np.float32)[:, None]
+    # two genuine 3-D planes (pixel-LINEAR depth is a curved surface in
+    # real coordinates — the consistency merge correctly refuses those)
+    left = _plane_depth(intr, h, w, np.array([0.25, 0.1, 0.96]), 2300.0)
+    right = _plane_depth(intr, h, w, np.array([-0.2, 0.05, 0.98]), 3000.0)
+    gt = np.where(u < w // 2, left, right)
+    noisy = (gt + rng.normal(0.0, 2.0, gt.shape)).astype(np.float32)
+    color = (
+        (128.0 + 60.0 * np.sin(u / 9.0) + 50.0 * np.cos(v / 7.0))[..., None]
+        + rng.normal(0, 6.0, (h, w))[..., None] * np.ones((1, 1, 3))
+    ).clip(0, 255).astype(np.uint8)
+    grid = GridParams(rows=3, cols=4)
+    base = dataclasses.replace(KDEConfig(), grid=grid, min_cluster_size=300)
+    pm = dataclasses.replace(base, plane_merge=True)
+    d, c = jnp.asarray(noisy), jnp.asarray(color)
+
+    r0 = jax.jit(lambda a, b: pipelines.kde_pipeline(a, b, intr, base))(d, c)
+    r1 = jax.jit(lambda a, b: pipelines.kde_pipeline(a, b, intr, pm))(d, c)
+    lab = np.asarray(r1.merged_labels)
+    # cells whose superpixels lie fully on ONE surface collapse to one
+    # component per surface; superpixels straddling the seam (the cell
+    # column at u ~ 64 captures pixels of both planes) fit a mixed plane
+    # and are correctly refused by the consistency test
+    li = lab[16:-16, 8 : w // 2 - 16]     # cell cols 0-1, left plane
+    ri = lab[16:-16, 100:120]             # cell col 3, right plane
+    assert len(np.unique(li)) == 1 and len(np.unique(ri)) == 1
+    assert li[0, 0] != ri[0, 0]
+    z1 = np.asarray(r1.optimized_points[..., 2])
+    m = (z1 > 50.0) & (np.broadcast_to(np.abs(u - 64.0) > 16.0, z1.shape))
+    rmse_pm = float(np.sqrt(np.mean((z1 - gt)[m] ** 2)))
+    z0 = np.asarray(r0.optimized_points[..., 2])
+    rmse0 = float(np.sqrt(np.mean((z0 - gt)[m] ** 2)))
+    # projection onto the merged LSQ planes reaches the noise level and
+    # never regresses vs the reference merge path
+    assert rmse_pm < 2.5, (rmse_pm, rmse0)
+    assert rmse_pm <= rmse0 * 1.05
+
+
 def test_spdsp_tof_cell_route_matches_global():
     """Round-5 capped-locality routes (5-iteration capped SLIC + cell-local
     pca/merge/projection gathers with lax.cond fallback) vs the all-global
