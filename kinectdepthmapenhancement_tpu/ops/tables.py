@@ -52,19 +52,10 @@ def one_hot(labels: jnp.ndarray, k: int) -> jnp.ndarray:
     )
 
 
-def split3(x: jnp.ndarray):
-    """f32 -> three bf16 parts whose f32 sum reconstructs x exactly
-    (8+8+8 mantissa bits cover f32's 24)."""
-    x = x.astype(jnp.float32)
-    h1 = x.astype(jnp.bfloat16)
-    r1 = x - h1.astype(jnp.float32)
-    h2 = r1.astype(jnp.bfloat16)
-    r2 = r1 - h2.astype(jnp.float32)
-    h3 = r2.astype(jnp.bfloat16)
-    return h1, h2, h3
-
-
-_split3 = split3
+# NOTE: rounds 1-4 exposed a split3() helper here (f32 -> three exact bf16
+# parts) and summed three bf16 dots per table matmul.  REMOVED in round 5:
+# the pattern miscompiles on current XLA (see _dot below) — do not
+# reintroduce it; use _dot's f32 HIGHEST path.
 
 
 def _dot(p: jnp.ndarray, t: jnp.ndarray, contract_p: int) -> jnp.ndarray:
